@@ -1,0 +1,8 @@
+from math_tpu.diagnostics.convergence import (  # noqa: F401
+    split_rhat,
+    rhat,
+    ess,
+    ess_bulk,
+    ess_tail,
+    summary,
+)

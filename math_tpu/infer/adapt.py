@@ -1,0 +1,145 @@
+"""Warmup adaptation: dual-averaging step size + windowed Welford metric.
+
+Reference behavior: Stan's stepsize_adaptation (Nesterov dual averaging,
+gamma=0.05, t0=10, kappa=0.75, delta=0.8) and windowed covariance adaptation
+(init buffer 75, doubling slow windows from 25, terminal buffer 50), with
+the Welford accumulator from ``prim/mat/fun/welford_var_estimator.hpp`` and
+the same ``(n/(n+5)) var + 1e-3 (5/(n+5))`` regularization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.infer.nuts import IntegratorState, kinetic_energy, leapfrog
+
+
+class DualAveragingState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+    mu: jnp.ndarray
+    count: jnp.ndarray
+
+
+def da_init(eps0, dtype=jnp.float32):
+    eps0 = jnp.asarray(eps0, dtype)
+    return DualAveragingState(
+        log_eps=jnp.log(eps0),
+        log_eps_bar=jnp.zeros((), dtype),
+        h_bar=jnp.zeros((), dtype),
+        mu=jnp.log(10.0 * eps0),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def da_update(s: DualAveragingState, accept_prob, target=0.8,
+              gamma=0.05, t0=10.0, kappa=0.75):
+    count = s.count + 1
+    t = count.astype(s.log_eps.dtype)
+    eta = 1.0 / (t + t0)
+    h_bar = (1.0 - eta) * s.h_bar + eta * (target - accept_prob)
+    log_eps = s.mu - jnp.sqrt(t) / gamma * h_bar
+    w = jnp.power(t, -kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * s.log_eps_bar
+    return DualAveragingState(log_eps, log_eps_bar, h_bar, s.mu, count)
+
+
+class WelfordState(NamedTuple):
+    count: jnp.ndarray
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+
+
+def welford_init(dim, dtype=jnp.float32):
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim,), dtype),
+    )
+
+
+def welford_update(s: WelfordState, x):
+    """Ref: welford_var_estimator.hpp:19-27."""
+    count = s.count + 1.0
+    delta = x - s.mean
+    mean = s.mean + delta / count
+    m2 = s.m2 + delta * (x - mean)
+    return WelfordState(count, mean, m2)
+
+
+def welford_variance_regularized(s: WelfordState):
+    """Stan's shrunk sample variance (downstream var_adaptation)."""
+    n = jnp.maximum(s.count, 2.0)
+    var = s.m2 / (n - 1.0)
+    return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+
+
+def warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25):
+    """Static schedule arrays: in_slow[t], window_end[t] (numpy, trace-time).
+
+    Follows Stan's windowed adaptation: fast(75) | 25,50,100,... | fast(50),
+    with proportional shrinking when num_warmup is small and the final slow
+    window extended to abut the terminal buffer.
+    """
+    in_slow = np.zeros(num_warmup, dtype=bool)
+    window_end = np.zeros(num_warmup, dtype=bool)
+    if num_warmup < 20:
+        return in_slow, window_end
+    if init_buffer + term_buffer + base_window > num_warmup:
+        init_buffer = int(0.15 * num_warmup)
+        term_buffer = int(0.10 * num_warmup)
+        base_window = num_warmup - init_buffer - term_buffer
+    slow_end = num_warmup - term_buffer
+    in_slow[init_buffer:slow_end] = True
+    start, size = init_buffer, base_window
+    while start < slow_end:
+        end = start + size
+        if end + 2 * size > slow_end:
+            end = slow_end
+        window_end[end - 1] = True
+        start, size = end, size * 2
+    return in_slow, window_end
+
+
+def find_reasonable_step_size(key, logp_grad_fn, state: IntegratorState,
+                              inv_mass, eps0=1.0, max_iter=100):
+    """Stan/NUTS-paper init heuristic: double/halve eps until the one-step
+    acceptance probability crosses 1/2."""
+    dt = state.z.dtype
+    dim = state.z.shape[-1]
+    r0 = jax.random.normal(key, (dim,), dt) / jnp.sqrt(inv_mass)
+    start = IntegratorState(state.z, r0, state.logp, state.grad)
+    h0 = -start.logp + kinetic_energy(inv_mass, r0)
+
+    def accept_log_prob(eps):
+        s = leapfrog(logp_grad_fn, start, eps, inv_mass)
+        h = -s.logp + kinetic_energy(inv_mass, s.r)
+        h = jnp.where(jnp.isnan(h), jnp.inf, h)
+        return h0 - h  # log accept prob
+
+    eps0 = jnp.asarray(eps0, dt)
+    direction = jnp.where(accept_log_prob(eps0) > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(carry):
+        eps, it = carry
+        crossed = jnp.where(
+            direction > 0,
+            accept_log_prob(eps) <= jnp.log(0.5),
+            accept_log_prob(eps) > jnp.log(0.5),
+        )
+        return (~crossed) & (it < max_iter)
+
+    def body(carry):
+        eps, it = carry
+        return eps * jnp.power(jnp.asarray(2.0, dt), direction), it + 1
+
+    eps, _ = jax.lax.while_loop(cond, body, (eps0, jnp.asarray(0, jnp.int32)))
+    # step back once on the shrinking side so we end on the acceptable side
+    eps = jnp.where(direction < 0, eps, eps * 0.5)
+    return jnp.clip(eps, 1e-8, 1e3)

@@ -1,0 +1,164 @@
+"""Sampling driver: warmup + sampling, vmapped over chains, one jit.
+
+The TPU-native successor of Stan's (downstream) sample service: thousands of
+chains ride ``vmap`` inside a single XLA program (SURVEY.md §2.5's thread-DP
+analog); sharding the chain axis over a device mesh lives in
+``math_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.infer import adapt
+from math_tpu.infer.nuts import IntegratorState, NutsStats, nuts_kernel
+
+
+class ChainResult(NamedTuple):
+    position: jnp.ndarray  # (chains, num_samples, dim)
+    stats: NutsStats  # leaves shaped (chains, num_samples)
+    step_size: jnp.ndarray  # (chains,)
+    inv_mass: jnp.ndarray  # (chains, dim)
+    warmup_accept: jnp.ndarray  # (chains,) mean accept during warmup
+
+
+def _one_chain_factory(
+    logdensity_fn: Callable,
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int,
+    target_accept: float,
+    thin: int = 1,
+):
+    logp_grad = jax.value_and_grad(logdensity_fn)
+
+    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+
+    def one_chain(key, z0):
+        dt = z0.dtype
+        dim = z0.shape[-1]
+        logp0, grad0 = logp_grad(z0)
+        state = IntegratorState(z0, jnp.zeros_like(z0), logp0, grad0)
+        inv_mass = jnp.ones((dim,), dt)
+
+        key, k_eps = jax.random.split(key)
+        eps0 = adapt.find_reasonable_step_size(k_eps, logp_grad, state, inv_mass)
+        da = adapt.da_init(eps0, dt)
+        wf = adapt.welford_init(dim, dt)
+
+        def warmup_step(carry, xs):
+            state, da, wf, inv_mass, key, acc_sum = carry
+            in_slow, win_end = xs
+            key, k = jax.random.split(key)
+            eps = jnp.exp(da.log_eps)
+            state, stats = nuts_kernel(
+                k, state, logp_grad, eps, inv_mass, max_depth
+            )
+            da = adapt.da_update(da, stats.accept_prob, target=target_accept)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(in_slow, new, old),
+                adapt.welford_update(wf, state.z),
+                wf,
+            )
+
+            def finish_window(args):
+                da, wf, inv_mass = args
+                inv_mass_new = adapt.welford_variance_regularized(wf)
+                wf_new = adapt.welford_init(dim, dt)
+                # Re-center dual averaging on the current step size; the
+                # metric just changed so the old averaged iterates are stale.
+                da_new = adapt.da_init(jnp.exp(da.log_eps), dt)
+                return da_new, wf_new, inv_mass_new
+
+            da, wf, inv_mass = jax.lax.cond(
+                win_end, finish_window, lambda a: a, (da, wf, inv_mass)
+            )
+            return (state, da, wf, inv_mass, key, acc_sum + stats.accept_prob), None
+
+        (state, da, wf, inv_mass, key, acc_sum), _ = jax.lax.scan(
+            warmup_step,
+            (state, da, wf, inv_mass, key, jnp.zeros((), dt)),
+            (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
+        )
+        eps_final = jnp.where(
+            num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
+        )
+
+        def sample_step(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+
+            def inner(carry2, _):
+                state, key2 = carry2
+                key2, kk = jax.random.split(key2)
+                state, stats = nuts_kernel(
+                    kk, state, logp_grad, eps_final, inv_mass, max_depth
+                )
+                return (state, key2), stats
+
+            (state, _), stats_all = jax.lax.scan(
+                inner, (state, k), None, length=thin
+            )
+            stats = jax.tree.map(lambda x: x[-1], stats_all)
+            return (state, key), (state.z, stats)
+
+        (state, key), (zs, stats) = jax.lax.scan(
+            sample_step, (state, key), None, length=num_samples
+        )
+        warmup_accept = acc_sum / jnp.maximum(num_warmup, 1)
+        return zs, stats, eps_final, inv_mass, warmup_accept
+
+    return one_chain
+
+
+def sample_nuts(
+    logdensity_fn: Callable,
+    key,
+    dim: Optional[int] = None,
+    *,
+    num_warmup: int = 1000,
+    num_samples: int = 1000,
+    num_chains: int = 4,
+    init: Optional[jnp.ndarray] = None,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_radius: float = 2.0,
+    thin: int = 1,
+    dtype=jnp.float64,
+) -> ChainResult:
+    """Run NUTS with Stan-style windowed warmup; all chains vmapped + jitted.
+
+    ``logdensity_fn``: flat unconstrained theta -> scalar log density.
+    Returns positions of shape (chains, num_samples, dim).
+    """
+    if init is None:
+        if dim is None:
+            raise ValueError("pass dim= or init=")
+        key, k_init = jax.random.split(key)
+        init = jax.random.uniform(
+            k_init, (num_chains, dim), minval=-init_radius, maxval=init_radius,
+            dtype=dtype,
+        )
+    init = jnp.asarray(init, dtype)
+    num_chains = init.shape[0]
+
+    one_chain = _one_chain_factory(
+        logdensity_fn, num_warmup, num_samples, max_depth, target_accept, thin
+    )
+    keys = jax.random.split(key, num_chains)
+    zs, stats, eps, inv_mass, warmup_accept = jax.jit(jax.vmap(one_chain))(
+        keys, init
+    )
+    return ChainResult(
+        position=zs,
+        stats=stats,
+        step_size=eps,
+        inv_mass=inv_mass,
+        warmup_accept=warmup_accept,
+    )

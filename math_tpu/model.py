@@ -1,0 +1,96 @@
+"""Log-density program layer.
+
+The reference stops at ``∇ log p`` primitives and delegates the "model" to
+the downstream Stan compiler; here we provide the typed equivalent: declare
+named parameter blocks with constraint transforms, supply ``log_prob`` on
+constrained values, and get back a flat unconstrained log-density
+
+    lp(theta) = log_prob(constrain(theta)) + sum log|det J|
+
+that NUTS/ADVI/SMC consume.  This mirrors how generated Stan model code
+reads parameters off the unconstrained vector via ``*_constrain(..., lp)``
+calls (reference behavior: ``prim/mat/fun/*_constrain.hpp``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.transforms import Transform
+
+
+def _size(shape: Tuple[int, ...]) -> int:
+    return int(np.prod(shape)) if shape else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class LogDensity:
+    """Flat unconstrained log-density with parameter packing metadata."""
+
+    param_specs: Tuple[Tuple[str, Transform], ...]
+    log_prob_fn: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray]
+    dim: int
+
+    def unravel(self, theta):
+        """Split flat unconstrained theta into named unconstrained blocks."""
+        out = {}
+        pos = 0
+        for name, tr in self.param_specs:
+            n = _size(tr.unconstrained_shape)
+            block = theta[..., pos : pos + n]
+            out[name] = block.reshape(theta.shape[:-1] + tuple(tr.unconstrained_shape))
+            pos += n
+        return out
+
+    def ravel_constrained(self, values: Dict[str, jnp.ndarray]):
+        """Inverse: free each constrained value and concatenate."""
+        parts = []
+        for name, tr in self.param_specs:
+            x = tr.free(jnp.asarray(values[name]))
+            parts.append(jnp.reshape(x, (-1,)))
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,))
+
+    def constrain(self, theta):
+        """Named constrained values (no Jacobian)."""
+        blocks = self.unravel(theta)
+        return {
+            name: tr.constrain(blocks[name]) for name, tr in self.param_specs
+        }
+
+    def constrain_lp(self, theta):
+        blocks = self.unravel(theta)
+        lp = jnp.zeros((), dtype=theta.dtype)
+        out = {}
+        for name, tr in self.param_specs:
+            y, lj = tr.constrain_lp(blocks[name])
+            out[name] = y
+            lp = lp + lj
+        return out, lp
+
+    def logp(self, theta):
+        values, lp_jac = self.constrain_lp(theta)
+        return self.log_prob_fn(values) + lp_jac
+
+    def logp_and_grad(self, theta):
+        return jax.value_and_grad(self.logp)(theta)
+
+    def initial_positions(self, key, num_chains, init_radius=2.0):
+        """Stan-style uniform(-2, 2) unconstrained inits."""
+        return jax.random.uniform(
+            key, (num_chains, self.dim), minval=-init_radius, maxval=init_radius
+        )
+
+
+def make_log_density(
+    params: Dict[str, Transform],
+    log_prob_fn: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+) -> LogDensity:
+    specs = tuple(params.items())
+    dim = sum(_size(tr.unconstrained_shape) for _, tr in specs)
+    return LogDensity(param_specs=specs, log_prob_fn=log_prob_fn, dim=dim)

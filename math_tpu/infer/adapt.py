@@ -123,7 +123,9 @@ def find_reasonable_step_size(key, logp_grad_fn, state: IntegratorState,
         h = jnp.where(jnp.isnan(h), jnp.inf, h)
         return h0 - h  # log accept prob
 
-    eps0 = jnp.asarray(eps0, dt)
+    # tie eps0's varying-axes type to the state so the while_loop carry is
+    # consistent under shard_map (vma propagation)
+    eps0 = jnp.asarray(eps0, dt) * jnp.ones_like(state.logp)
     direction = jnp.where(accept_log_prob(eps0) > jnp.log(0.5), 1.0, -1.0)
 
     def cond(carry):

@@ -63,6 +63,25 @@ class NutsStats(NamedTuple):
     energy: jnp.ndarray
 
 
+def _vary_like(x, ref):
+    """Align x's varying-manual-axes with ref's (no-op outside shard_map).
+
+    while_loop carries must have matching vma types on input and output;
+    constants folded into initial carries start "unvarying" and would
+    otherwise clash once the body mixes in sharded state.
+    """
+    ref_vma = getattr(jax.typeof(ref), "vma", frozenset())
+
+    def one(v):
+        v = jnp.asarray(v)
+        missing = ref_vma - getattr(jax.typeof(v), "vma", frozenset())
+        if missing:
+            v = jax.lax.pcast(v, tuple(missing), to="varying")
+        return v
+
+    return jax.tree.map(one, x)
+
+
 def velocity(inv_mass, r):
     """M^-1 r for a diagonal metric."""
     return inv_mass * r
@@ -120,7 +139,8 @@ def _iterative_turning(inv_mass, r_new, rho_cum, r_ckpts, rho_ckpts, idx_min, id
         i, turning = carry
         return (i >= idx_min) & ~turning
 
-    _, turning = jax.lax.while_loop(cond, body, (idx_max, False))
+    init = _vary_like((idx_max, jnp.asarray(False)), rho_cum)
+    _, turning = jax.lax.while_loop(cond, body, init)
     return turning
 
 
@@ -237,9 +257,8 @@ def _build_subtree(
         tree, *_ = carry
         return (tree.n_leaves < num_leaves) & ~tree.turning & ~tree.diverging
 
-    tree, state, _, _, _ = jax.lax.while_loop(
-        cond, body, (init_tree, edge, r_ckpts, rho_ckpts, key)
-    )
+    init = _vary_like((init_tree, edge, r_ckpts, rho_ckpts, key), edge.z)
+    tree, state, _, _, _ = jax.lax.while_loop(cond, body, init)
     return tree
 
 
@@ -351,7 +370,8 @@ def nuts_kernel(
         tree, key, depth = carry
         return (depth < max_depth) & ~tree.turning & ~tree.diverging
 
-    tree, _, _ = jax.lax.while_loop(cond, body, (tree0, key_loop, jnp.asarray(0, jnp.int32)))
+    init = _vary_like((tree0, key_loop, jnp.asarray(0, jnp.int32)), state.z)
+    tree, _, _ = jax.lax.while_loop(cond, body, init)
 
     new_state = IntegratorState(tree.z_prop, r0, tree.logp_prop, tree.grad_prop)
     n = jnp.maximum(tree.n_leaves, 1)

@@ -1,0 +1,169 @@
+"""Chain-batched NUTS with cross-chain pooled warmup.
+
+Design note (SURVEY.md §5.7/§5.8): the reference's distributed backend is a
+command/serialize/scatter MPI machine; the TPU-native replacement is SPMD —
+all chains advance in lock-step under ``vmap``; warmup statistics (mean
+acceptance for dual averaging, Welford moments for the metric) are pooled
+across every chain on every device with ``psum``/``pmean`` over a named mesh
+axis.  Pooling has no reference analog (Stan adapts per-chain); sharing the
+metric across chains is strictly more statistically efficient when running
+hundreds of chains.
+
+This module is mesh-agnostic: pass ``axis_name`` when running under
+``shard_map`` (see ``math_tpu.parallel``); with ``axis_name=None`` it pools
+over the local vmap batch only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.infer import adapt
+from math_tpu.infer.nuts import IntegratorState, nuts_kernel
+
+
+class PooledResult(NamedTuple):
+    position: jnp.ndarray  # (local_chains, num_samples, dim)
+    accept_prob: jnp.ndarray
+    diverging: jnp.ndarray
+    tree_depth: jnp.ndarray
+    n_leapfrog: jnp.ndarray
+    energy: jnp.ndarray
+    step_size: jnp.ndarray  # scalar (shared)
+    inv_mass: jnp.ndarray  # (dim,) shared
+
+
+def _pmean(x, axis_name):
+    x = jnp.mean(x, axis=0)
+    if axis_name is not None:
+        x = jax.lax.pmean(x, axis_name)
+    return x
+
+
+def _psum(x, axis_name):
+    x = jnp.sum(x, axis=0)
+    if axis_name is not None:
+        x = jax.lax.psum(x, axis_name)
+    return x
+
+
+def _welford_merge_batch(wf: adapt.WelfordState, zs, axis_name):
+    """Chan-style parallel merge of a cross-chain batch into the accumulator."""
+    cg = zs.shape[0]
+    if axis_name is not None:
+        cg = jax.lax.psum(cg, axis_name)
+    mb = _pmean(zs, axis_name)
+    m2b = _psum(jnp.square(zs - mb), axis_name)
+    n = wf.count
+    n_new = n + cg
+    delta = mb - wf.mean
+    mean_new = wf.mean + delta * (cg / n_new)
+    m2_new = wf.m2 + m2b + jnp.square(delta) * (n * cg / n_new)
+    return adapt.WelfordState(n_new, mean_new, m2_new)
+
+
+def run_pooled_chains(
+    keys,
+    z0s,
+    logdensity_fn: Callable,
+    *,
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    axis_name: Optional[str] = None,
+) -> PooledResult:
+    """Advance a batch of chains with shared (pooled) step size and metric.
+
+    Shapes: ``keys`` (local_chains,) PRNG keys; ``z0s`` (local_chains, dim).
+    Call directly for single-host, or wrap in ``shard_map`` with
+    ``axis_name`` matching the mesh chain axis.
+    """
+    logp_grad = jax.value_and_grad(logdensity_fn)
+    dt = z0s.dtype
+    local_chains, dim = z0s.shape
+
+    kernel = jax.vmap(
+        partial(nuts_kernel, max_depth=max_depth),
+        in_axes=(0, 0, None, None, None),
+    )
+
+    logp0, grad0 = jax.vmap(logp_grad)(z0s)
+    states = IntegratorState(z0s, jnp.zeros_like(z0s), logp0, grad0)
+    inv_mass = jnp.ones((dim,), dt)
+
+    # shared initial step size: geometric mean of per-chain heuristics
+    eps_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    single = jax.vmap(
+        lambda k, s: adapt.find_reasonable_step_size(k, logp_grad, s, inv_mass)
+    )(eps_keys, states)
+    eps0 = jnp.exp(_pmean(jnp.log(single), axis_name))
+    da = adapt.da_init(eps0, dt)
+    wf = adapt.welford_init(dim, dt)
+
+    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+
+    def split_keys(key_batch, t):
+        return jax.vmap(lambda k: jax.random.fold_in(k, t))(key_batch)
+
+    def warmup_step(carry, xs):
+        states, da, wf, inv_mass, t = carry
+        in_slow, win_end = xs
+        step_keys = split_keys(keys, t)
+        eps = jnp.exp(da.log_eps)
+        states, stats = kernel(step_keys, states, logp_grad, eps, inv_mass)
+        acc = _pmean(stats.accept_prob, axis_name)
+        da = adapt.da_update(da, acc, target=target_accept)
+        wf_updated = _welford_merge_batch(wf, states.z, axis_name)
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(in_slow, new, old), wf_updated, wf
+        )
+
+        def finish(args):
+            da, wf, inv_mass = args
+            return (
+                adapt.da_init(jnp.exp(da.log_eps), dt),
+                adapt.welford_init(dim, dt),
+                adapt.welford_variance_regularized(wf),
+            )
+
+        da, wf, inv_mass = jax.lax.cond(
+            win_end, finish, lambda a: a, (da, wf, inv_mass)
+        )
+        return (states, da, wf, inv_mass, t + 1), None
+
+    (states, da, wf, inv_mass, t), _ = jax.lax.scan(
+        warmup_step,
+        (states, da, wf, inv_mass, jnp.asarray(1, jnp.int32)),
+        (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
+    )
+    eps_final = jnp.where(
+        num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
+    )
+
+    def sample_step(carry, _):
+        states, t = carry
+        step_keys = split_keys(keys, t)
+        states, stats = kernel(step_keys, states, logp_grad, eps_final, inv_mass)
+        return (states, t + 1), (states.z, stats)
+
+    (states, _), (zs, stats) = jax.lax.scan(
+        sample_step, (states, t), None, length=num_samples
+    )
+    # (num_samples, local_chains, dim) -> (local_chains, num_samples, dim)
+    zs = jnp.swapaxes(zs, 0, 1)
+    stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), stats)
+    return PooledResult(
+        position=zs,
+        accept_prob=stats.accept_prob,
+        diverging=stats.diverging,
+        tree_depth=stats.tree_depth,
+        n_leapfrog=stats.n_leapfrog,
+        energy=stats.energy,
+        step_size=eps_final,
+        inv_mass=inv_mass,
+    )

@@ -1,0 +1,118 @@
+"""Sharded inference on the virtual 8-device CPU mesh.
+
+The reference tests MPI with `mpirun -np N` on localhost (SURVEY.md §4.4);
+we test SPMD with xla_force_host_platform_device_count=8 (conftest).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from math_tpu import dists
+from math_tpu.models import eight_schools
+from math_tpu.parallel import chain_mesh, sample_nuts_sharded, sharded_data_logdensity
+from math_tpu.infer.pooled import run_pooled_chains
+
+
+def test_mesh_has_8_devices():
+    mesh = chain_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_nuts_eight_schools():
+    model = eight_schools.make()
+    res = sample_nuts_sharded(
+        model.logp,
+        jax.random.PRNGKey(0),
+        model.dim,
+        num_chains=32,
+        num_warmup=400,
+        num_samples=300,
+        target_accept=0.9,
+        dtype=jnp.float64,
+    )
+    pos = np.asarray(res.position)  # (32, 300, dim)
+    assert pos.shape == (32, 300, model.dim)
+    cons = model.constrain(jnp.asarray(pos.reshape(-1, model.dim)))
+    mu = np.asarray(cons["mu"])
+    tau = np.asarray(cons["tau"])
+    assert abs(mu.mean() - 4.4) < 0.6, mu.mean()
+    assert abs(tau.mean() - 3.6) < 0.8, tau.mean()
+    # pooled warmup: step size and metric are shared scalars/vectors
+    assert np.ndim(res.step_size) == 0
+    assert res.inv_mass.shape == (model.dim,)
+
+
+def test_sharded_matches_local_pooled():
+    """Same seed, same chain count: mesh-sharded == local vmap-pooled."""
+    model = eight_schools.make()
+    key = jax.random.PRNGKey(1)
+    key, k_init = jax.random.split(key)
+    z0 = jax.random.uniform(k_init, (8, model.dim), minval=-2, maxval=2,
+                            dtype=jnp.float64)
+    keys = jax.random.split(key, 8)
+
+    local = run_pooled_chains(
+        keys, z0, model.logp, num_warmup=100, num_samples=50
+    )
+
+    mesh = chain_mesh()
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda k, z: run_pooled_chains(
+                k, z, model.logp, num_warmup=100, num_samples=50,
+                axis_name="chain",
+            ),
+            mesh=mesh,
+            in_specs=(P("chain"), P("chain")),
+            out_specs=jax.tree.map(
+                lambda _: P("chain"),
+                local,
+            )._replace(step_size=P(), inv_mass=P()),
+        )
+    )(keys, z0)
+
+    # Pooling across 8 single-chain shards equals local 8-chain pooling up
+    # to psum-vs-mean float reduction order; NUTS trajectories are chaotic,
+    # so tiny differences amplify — compare adaptation results and moments
+    # statistically, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(sharded.step_size), np.asarray(local.step_size), rtol=0.3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.inv_mass), np.asarray(local.inv_mass), rtol=0.6
+    )
+    sp_ = np.asarray(sharded.position).reshape(-1, model.dim)
+    lp_ = np.asarray(local.position).reshape(-1, model.dim)
+    assert np.abs(sp_.mean(0) - lp_.mean(0)).max() < 0.8
+
+
+def test_sharded_data_logdensity_glm():
+    """Observation sharding: psum of shard contributions == unsharded value,
+    gradients included (the map_rect successor)."""
+    rng = np.random.default_rng(0)
+    n, k = 64, 3
+    X = rng.normal(size=(n, k))
+    beta_true = np.array([0.5, -1.0, 0.3])
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ beta_true)))).astype(np.float64)
+
+    mesh = chain_mesh(axis="obs")
+
+    def term(theta, shard):
+        Xs, ys = shard
+        return dists.bernoulli_logit_glm_lpmf(ys, Xs, 0.0, theta, propto=True)
+
+    lp, _ = sharded_data_logdensity(term, (X, y), mesh, axis="obs")
+
+    theta = jnp.asarray([0.2, -0.5, 0.1])
+    want = float(
+        dists.bernoulli_logit_glm_lpmf(y, X, 0.0, theta, propto=True)
+    )
+    got = float(jax.jit(lp)(theta))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    gw = np.asarray(jax.grad(lambda t: dists.bernoulli_logit_glm_lpmf(y, X, 0.0, t, propto=True))(theta))
+    gg = np.asarray(jax.jit(jax.grad(lp))(theta))
+    np.testing.assert_allclose(gg, gw, rtol=1e-9)

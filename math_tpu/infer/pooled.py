@@ -71,6 +71,7 @@ def run_pooled_chains(
     z0s,
     logdensity_fn: Callable,
     *,
+    args=(),
     num_warmup: int,
     num_samples: int,
     max_depth: int = 10,
@@ -81,9 +82,10 @@ def run_pooled_chains(
 
     Shapes: ``keys`` (local_chains,) PRNG keys; ``z0s`` (local_chains, dim).
     Call directly for single-host, or wrap in ``shard_map`` with
-    ``axis_name`` matching the mesh chain axis.
+    ``axis_name`` matching the mesh chain axis.  Pass large data via
+    ``args`` (kept as traced operands, not baked constants).
     """
-    logp_grad = jax.value_and_grad(logdensity_fn)
+    logp_grad = jax.value_and_grad(lambda z: logdensity_fn(z, *args))
     dt = z0s.dtype
     local_chains, dim = z0s.shape
 

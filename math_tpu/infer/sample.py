@@ -122,6 +122,7 @@ def sample_nuts(
     key,
     dim: Optional[int] = None,
     *,
+    args=(),
     num_warmup: int = 1000,
     num_samples: int = 1000,
     num_chains: int = 4,
@@ -134,8 +135,11 @@ def sample_nuts(
 ) -> ChainResult:
     """Run NUTS with Stan-style windowed warmup; all chains vmapped + jitted.
 
-    ``logdensity_fn``: flat unconstrained theta -> scalar log density.
-    Returns positions of shape (chains, num_samples, dim).
+    ``logdensity_fn``: flat unconstrained theta (+ ``*args``) -> scalar log
+    density.  Pass large data through ``args`` rather than closing over it:
+    closure constants get baked into the traced program and inflate compile
+    time badly (observed 17x on a 100k x 50 GLM); ``args`` stay XLA
+    parameters.  Returns positions of shape (chains, num_samples, dim).
     """
     if init is None:
         if dim is None:
@@ -147,14 +151,20 @@ def sample_nuts(
         )
     init = jnp.asarray(init, dtype)
     num_chains = init.shape[0]
-
-    one_chain = _one_chain_factory(
-        logdensity_fn, num_warmup, num_samples, max_depth, target_accept, thin
-    )
     keys = jax.random.split(key, num_chains)
-    zs, stats, eps, inv_mass, warmup_accept = jax.jit(jax.vmap(one_chain))(
-        keys, init
-    )
+
+    def runner(keys, init, args):
+        one_chain = _one_chain_factory(
+            lambda z: logdensity_fn(z, *args),
+            num_warmup,
+            num_samples,
+            max_depth,
+            target_accept,
+            thin,
+        )
+        return jax.vmap(one_chain)(keys, init)
+
+    zs, stats, eps, inv_mass, warmup_accept = jax.jit(runner)(keys, init, args)
     return ChainResult(
         position=zs,
         stats=stats,

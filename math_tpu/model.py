@@ -73,9 +73,14 @@ class LogDensity:
             lp = lp + lj
         return out, lp
 
-    def logp(self, theta):
+    def logp(self, theta, *data):
+        """Log density; extra ``*data`` args are forwarded to log_prob_fn.
+
+        Pass large datasets this way (and through the samplers' ``args=``)
+        so they remain XLA parameters instead of baked trace constants.
+        """
         values, lp_jac = self.constrain_lp(theta)
-        return self.log_prob_fn(values) + lp_jac
+        return self.log_prob_fn(values, *data) + lp_jac
 
     def logp_and_grad(self, theta):
         return jax.value_and_grad(self.logp)(theta)

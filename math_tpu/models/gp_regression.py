@@ -1,0 +1,53 @@
+"""GP regression with Cholesky-parameterized latent f (BASELINE.md config 5).
+
+    rho ~ inv_gamma(5, 5); alpha ~ std_normal+; sigma ~ std_normal+
+    f = cholesky(K_exp_quad(x; alpha, rho) + 1e-8 I) @ eta,  eta ~ std_normal
+    y ~ normal(f, sigma)
+
+The K + Cholesky pair dominates cost (O(N^2) + O(N^3) on the MXU);
+the reference offloads exactly this to OpenCL above N=1250
+(``opencl_context.hpp:168``) — on TPU it is simply the native path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from math_tpu import dists, transforms
+from math_tpu.model import make_log_density
+from math_tpu.ops import gp as gp_ops
+from math_tpu.ops.linalg import mdivide_left_tri_low
+
+
+def synthetic_data(n=2000, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-3, 3, n)).astype(dtype)
+    f = np.sin(2 * x) * np.exp(-0.2 * np.abs(x)) * 2.0
+    y = (f + rng.normal(size=n) * 0.3).astype(dtype)
+    return x, y
+
+
+def make(n: int, jitter=1e-8):
+    def log_prob(p, x, y):
+        rho, alpha, sigma, eta = p["rho"], p["alpha"], p["sigma"], p["eta"]
+        lp = dists.inv_gamma_lpdf(rho, 5.0, 5.0, propto=True)
+        lp += dists.normal_lpdf(alpha, 0.0, 2.0, propto=True)
+        lp += dists.normal_lpdf(sigma, 0.0, 1.0, propto=True)
+        lp += dists.std_normal_lpdf(eta, propto=True)
+        k = gp_ops.add_diag(gp_ops.gp_exp_quad_cov(x, alpha, rho), jitter)
+        L = jnp.linalg.cholesky(k)
+        f = L @ eta
+        lp += dists.normal_lpdf(y, f, sigma, propto=True)
+        return lp
+
+    return make_log_density(
+        {
+            "rho": transforms.LowerBound(shape=(), lb=0.0),
+            "alpha": transforms.LowerBound(shape=(), lb=0.0),
+            "sigma": transforms.LowerBound(shape=(), lb=0.0),
+            "eta": transforms.Identity(shape=(n,)),
+        },
+        log_prob,
+    )

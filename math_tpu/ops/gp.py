@@ -1,0 +1,81 @@
+"""Gaussian-process covariance functions.
+
+Reference: ``prim/mat/fun/gp_*_cov.hpp`` (+ custom rev varis like
+``rev/mat/fun/gp_exp_quad_cov.hpp:33-96``).  TPU-native: the pairwise
+squared-distance matrix is one matmul-shaped computation
+(||x||^2 + ||y||^2 - 2 x y^T) that rides the MXU; the hand-written
+analytic adjoint of the reference is recovered automatically by XLA's
+fusion of the VJP.
+
+Inputs: x is (N, D) (or (N,) for 1-D inputs); returns (N, N) or (N, M).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _as2d(x):
+    x = jnp.asarray(x)
+    return x[:, None] if x.ndim == 1 else x
+
+
+def sq_dists(x, y=None):
+    """Pairwise squared distances via the MXU-friendly expansion."""
+    x = _as2d(x)
+    y = x if y is None else _as2d(y)
+    xx = jnp.sum(jnp.square(x), axis=-1)
+    yy = jnp.sum(jnp.square(y), axis=-1)
+    cross = x @ y.T
+    return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * cross, 0.0)
+
+
+def gp_exp_quad_cov(x, sigma, length_scale, y=None):
+    """sigma^2 exp(-d^2 / (2 l^2)) (ref: gp_exp_quad_cov.hpp)."""
+    d2 = sq_dists(x, y)
+    return jnp.square(sigma) * jnp.exp(-0.5 * d2 / jnp.square(length_scale))
+
+
+def gp_exponential_cov(x, sigma, length_scale, y=None):
+    """sigma^2 exp(-d / l) (ref: gp_exponential_cov.hpp)."""
+    d = jnp.sqrt(sq_dists(x, y) + 1e-36)
+    return jnp.square(sigma) * jnp.exp(-d / length_scale)
+
+
+def gp_matern32_cov(x, sigma, length_scale, y=None):
+    """ref: gp_matern32_cov.hpp."""
+    d = jnp.sqrt(sq_dists(x, y) + 1e-36)
+    z = jnp.sqrt(3.0) * d / length_scale
+    return jnp.square(sigma) * (1.0 + z) * jnp.exp(-z)
+
+
+def gp_matern52_cov(x, sigma, length_scale, y=None):
+    """ref: gp_matern52_cov.hpp."""
+    d2 = sq_dists(x, y)
+    d = jnp.sqrt(d2 + 1e-36)
+    z = jnp.sqrt(5.0) * d / length_scale
+    return (
+        jnp.square(sigma)
+        * (1.0 + z + 5.0 * d2 / (3.0 * jnp.square(length_scale)))
+        * jnp.exp(-z)
+    )
+
+
+def gp_periodic_cov(x, sigma, length_scale, period, y=None):
+    """sigma^2 exp(-2 sin^2(pi d / p) / l^2) (ref: gp_periodic_cov.hpp)."""
+    d = jnp.sqrt(sq_dists(x, y) + 1e-36)
+    s = jnp.sin(jnp.pi * d / period)
+    return jnp.square(sigma) * jnp.exp(-2.0 * jnp.square(s / length_scale))
+
+
+def gp_dot_prod_cov(x, sigma, y=None):
+    """sigma^2 + x y^T (ref: gp_dot_prod_cov.hpp)."""
+    x = _as2d(x)
+    y = x if y is None else _as2d(y)
+    return jnp.square(sigma) + x @ y.T
+
+
+def add_diag(k, jitter):
+    """K + jitter I (the ubiquitous numerical stabilizer)."""
+    n = k.shape[-1]
+    return k + jitter * jnp.eye(n, dtype=k.dtype)

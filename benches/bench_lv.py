@@ -1,0 +1,50 @@
+"""BASELINE.md config 4: Lotka-Volterra ODE inverse problem, NUTS.
+
+Baseline: CPU Stan with CVODES/RK45 sensitivity on the 20-obs LV case
+study: ~10-30 ESS/s wall; use 20 ESS/s.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from benches.common import emit, min_ess_per_sec, timed
+from math_tpu.infer.pooled import run_pooled_chains
+from math_tpu.models import lotka_volterra
+
+
+def main():
+    ts, yobs, theta_true, _ = lotka_volterra.synthetic_data(20)
+    model = lotka_volterra.make(ts, solver="rk4")
+    num_chains, warm, samp = 16, 300, 300
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    z0 = jax.random.uniform(
+        jax.random.PRNGKey(1), (num_chains, model.dim), minval=-1.5, maxval=-0.5,
+        dtype=jnp.float32,
+    )
+    run = jax.jit(
+        lambda k, z, yo: run_pooled_chains(
+            k, z, model.logp, args=(yo,),
+            num_warmup=warm, num_samples=samp, max_depth=7, target_accept=0.8,
+        )
+    )
+    wall, res = timed(run, keys, z0, jnp.asarray(yobs, jnp.float32))
+    min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(4))
+    emit(
+        "lotka_volterra_ode_nuts_min_bulk_ess_per_sec_1chip",
+        eps_s,
+        "ESS/s",
+        20.0,
+        {
+            "wall_s": round(wall, 2),
+            "chains": num_chains,
+            "min_ess": round(min_ess, 1),
+            "divergence_rate": float(np.asarray(res.diverging).mean()),
+        },
+    )
+
+
+if __name__ == "__main__":
+    main()

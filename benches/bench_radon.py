@@ -1,0 +1,65 @@
+"""BASELINE.md config 3: radon hierarchical, NUTS + ADVI.
+
+Baseline: CPU Stan radon varying-intercept/slope, ~500-1000 ESS/s wall on
+the ~900-obs dataset; use 750 ESS/s.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from benches.common import emit, min_ess_per_sec, timed
+from math_tpu.infer.advi import advi
+from math_tpu.infer.pooled import run_pooled_chains
+from math_tpu.models import radon
+
+
+def main():
+    county, x, y = radon.synthetic_data(85, 919, dtype=np.float32)
+    model = radon.make(85)
+    args = (jnp.asarray(county), jnp.asarray(x), jnp.asarray(y))
+    num_chains, warm, samp = 256, 500, 500
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    z0 = jax.random.uniform(
+        jax.random.PRNGKey(1), (num_chains, model.dim), minval=-1.0, maxval=1.0,
+        dtype=jnp.float32,
+    )
+    run = jax.jit(
+        lambda k, z, *a: run_pooled_chains(
+            k, z, model.logp, args=a,
+            num_warmup=warm, num_samples=samp, max_depth=8, target_accept=0.85,
+        )
+    )
+    wall, res = timed(run, keys, z0, *args)
+    min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(5))
+
+    # ADVI leg (same model): report ELBO optimization throughput
+    import time
+
+    t0 = time.perf_counter()
+    ares = advi(
+        model.logp, jax.random.PRNGKey(2), model.dim, args=args,
+        num_steps=2000, learning_rate=0.02, dtype=jnp.float32,
+    )
+    advi_wall = time.perf_counter() - t0
+
+    emit(
+        "radon_hierarchical_nuts_min_bulk_ess_per_sec_1chip",
+        eps_s,
+        "ESS/s",
+        750.0,
+        {
+            "wall_s": round(wall, 2),
+            "chains": num_chains,
+            "min_ess": round(min_ess, 1),
+            "divergence_rate": float(np.asarray(res.diverging).mean()),
+            "advi_steps_per_sec": round(2000 / advi_wall, 0),
+            "advi_final_elbo": round(float(ares.final_elbo), 2),
+        },
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from math_tpu import dists, transforms
 from math_tpu.model import make_log_density
-from math_tpu.ops.ode import integrate_ode_rk45
+from math_tpu.ops.ode import integrate_ode_rk45, ode_rk4_fixed
 
 
 def dz_dt(t, z, theta):
@@ -52,7 +52,11 @@ def synthetic_data(n_times=20, seed=0, dtype=np.float64):
     return ts.astype(dtype), y.astype(dtype), theta_true, z0_true
 
 
-def make(ts, rtol=1e-6, atol=1e-8):
+def make(ts, rtol=1e-6, atol=1e-8, solver="rk45"):
+    """``solver``: "rk45" (adaptive DP5 + continuous adjoint, the CVODES
+    analog) or "rk4" (fixed-grid scan — much smaller XLA program, exact
+    discretize-then-optimize gradients; the right choice for smooth
+    non-stiff dynamics on TPU)."""
     ts = jnp.asarray(ts)
 
     def log_prob(p, y_obs):
@@ -61,7 +65,10 @@ def make(ts, rtol=1e-6, atol=1e-8):
         lp += dists.normal_lpdf(jnp.log(theta[jnp.array([1, 3])]), -3.5, 0.5, propto=True)
         lp += dists.lognormal_lpdf(z0, jnp.log(10.0), 1.0, propto=True)
         lp += dists.lognormal_lpdf(sigma, -1.0, 1.0, propto=True)
-        z = integrate_ode_rk45(dz_dt, z0, 0.0, ts, theta, rtol=rtol, atol=atol)
+        if solver == "rk4":
+            z = ode_rk4_fixed(dz_dt, z0, 0.0, ts, theta, steps_per_interval=24)
+        else:
+            z = integrate_ode_rk45(dz_dt, z0, 0.0, ts, theta, rtol=rtol, atol=atol)
         z = jnp.maximum(z, 1e-6)
         lp += dists.lognormal_lpdf(y_obs, jnp.log(z), sigma, propto=True)
         return lp

@@ -151,14 +151,13 @@ def bernoulli_logit_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
     when the measured thresholds say it wins, else vmapped XLA.
     """
     from math_tpu.config import get_config
-    from math_tpu.dists.glm import bernoulli_logit_glm_lpmf
 
     th = get_config().thresholds
     n, _ = x.shape
     c = beta.shape[1]
     if n >= th.glm_pallas_min_rows and c >= th.glm_pallas_min_chains:
         return bernoulli_logit_glm_fused(y, x, alpha, beta, interpret)
-    return jax.vmap(
-        lambda a, b: bernoulli_logit_glm_lpmf(y, x, a, b, propto=True),
-        in_axes=(0, 1),
-    )(alpha, beta)
+    # XLA path: same math as dists.glm.bernoulli_logit_glm_lpmf(propto=True)
+    eta = x @ beta + alpha[None, :]  # (N, C)
+    sign = 2.0 * y[:, None] - 1.0
+    return -jnp.sum(jax.nn.softplus(-sign * eta), axis=0)

@@ -16,7 +16,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from math_tpu.infer.nuts import IntegratorState, kinetic_energy, leapfrog
+from math_tpu.infer.nuts import (
+    IntegratorState,
+    kinetic_energy,
+    leapfrog,
+    sample_momentum,
+)
 
 
 class DualAveragingState(NamedTuple):
@@ -80,6 +85,41 @@ def welford_variance_regularized(s: WelfordState):
     return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
 
 
+class WelfordCovState(NamedTuple):
+    count: jnp.ndarray
+    mean: jnp.ndarray  # (dim,)
+    m2: jnp.ndarray  # (dim, dim)
+
+
+def welford_cov_init(dim, dtype=jnp.float32):
+    """Dense-metric accumulator (ref: welford_covar_estimator.hpp)."""
+    return WelfordCovState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim, dim), dtype),
+    )
+
+
+def welford_cov_update(s: WelfordCovState, x):
+    count = s.count + 1.0
+    delta = x - s.mean
+    mean = s.mean + delta / count
+    m2 = s.m2 + jnp.outer(delta, x - mean)
+    return WelfordCovState(count, mean, m2)
+
+
+def welford_cov_regularized(s: WelfordCovState):
+    """Stan's shrunk covariance (downstream covar_adaptation):
+    (n/(n+5)) Sigma + 1e-3 (5/(n+5)) I."""
+    n = jnp.maximum(s.count, 2.0)
+    cov = s.m2 / (n - 1.0)
+    cov = 0.5 * (cov + cov.T)
+    dim = cov.shape[-1]
+    return (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * jnp.eye(
+        dim, dtype=cov.dtype
+    )
+
+
 def warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25):
     """Static schedule arrays: in_slow[t], window_end[t] (numpy, trace-time).
 
@@ -113,7 +153,7 @@ def find_reasonable_step_size(key, logp_grad_fn, state: IntegratorState,
     acceptance probability crosses 1/2."""
     dt = state.z.dtype
     dim = state.z.shape[-1]
-    r0 = jax.random.normal(key, (dim,), dt) / jnp.sqrt(inv_mass)
+    r0 = sample_momentum(key, inv_mass, dim, dt)
     start = IntegratorState(state.z, r0, state.logp, state.grad)
     h0 = -start.logp + kinetic_energy(inv_mass, r0)
 

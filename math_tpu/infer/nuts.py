@@ -83,12 +83,27 @@ def _vary_like(x, ref):
 
 
 def velocity(inv_mass, r):
-    """M^-1 r for a diagonal metric."""
+    """M^-1 r; ``inv_mass`` is (D,) diagonal or (D, D) dense (Stan's
+    diag_e / dense_e metrics)."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ r
     return inv_mass * r
 
 
 def kinetic_energy(inv_mass, r):
+    if inv_mass.ndim == 2:
+        return 0.5 * jnp.dot(r, inv_mass @ r)
     return 0.5 * jnp.sum(inv_mass * jnp.square(r), axis=-1)
+
+
+def sample_momentum(key, inv_mass, dim, dtype):
+    """r ~ N(0, M) with M = inv_mass^-1: diag -> z/sqrt(im); dense ->
+    L^-T z with L = chol(inv_mass) (so cov(r) = L^-T L^-1 = M)."""
+    z = jax.random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 2:
+        L = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    return z / jnp.sqrt(inv_mass)
 
 
 def leapfrog(logp_grad_fn: Callable, state: IntegratorState, eps, inv_mass):
@@ -276,7 +291,7 @@ def nuts_kernel(
     dt = state.z.dtype
     key_mom, key_loop = jax.random.split(key)
 
-    r0 = jax.random.normal(key_mom, (dim,), dt) / jnp.sqrt(inv_mass)
+    r0 = sample_momentum(key_mom, inv_mass, dim, dt)
     start = IntegratorState(state.z, r0, state.logp, state.grad)
     energy0 = -start.logp + kinetic_energy(inv_mass, r0)
 

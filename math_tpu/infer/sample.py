@@ -35,8 +35,18 @@ def _one_chain_factory(
     max_depth: int,
     target_accept: float,
     thin: int = 1,
+    dense_mass: bool = False,
 ):
     logp_grad = jax.value_and_grad(logdensity_fn)
+
+    if dense_mass:
+        wf_init = adapt.welford_cov_init
+        wf_update = adapt.welford_cov_update
+        wf_final = adapt.welford_cov_regularized
+    else:
+        wf_init = adapt.welford_init
+        wf_update = adapt.welford_update
+        wf_final = adapt.welford_variance_regularized
 
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
 
@@ -45,12 +55,12 @@ def _one_chain_factory(
         dim = z0.shape[-1]
         logp0, grad0 = logp_grad(z0)
         state = IntegratorState(z0, jnp.zeros_like(z0), logp0, grad0)
-        inv_mass = jnp.ones((dim,), dt)
+        inv_mass = jnp.eye(dim, dtype=dt) if dense_mass else jnp.ones((dim,), dt)
 
         key, k_eps = jax.random.split(key)
         eps0 = adapt.find_reasonable_step_size(k_eps, logp_grad, state, inv_mass)
         da = adapt.da_init(eps0, dt)
-        wf = adapt.welford_init(dim, dt)
+        wf = wf_init(dim, dt)
 
         def warmup_step(carry, xs):
             state, da, wf, inv_mass, key, acc_sum = carry
@@ -63,14 +73,14 @@ def _one_chain_factory(
             da = adapt.da_update(da, stats.accept_prob, target=target_accept)
             wf = jax.tree.map(
                 lambda new, old: jnp.where(in_slow, new, old),
-                adapt.welford_update(wf, state.z),
+                wf_update(wf, state.z),
                 wf,
             )
 
             def finish_window(args):
                 da, wf, inv_mass = args
-                inv_mass_new = adapt.welford_variance_regularized(wf)
-                wf_new = adapt.welford_init(dim, dt)
+                inv_mass_new = wf_final(wf)
+                wf_new = wf_init(dim, dt)
                 # Re-center dual averaging on the current step size; the
                 # metric just changed so the old averaged iterates are stale.
                 da_new = adapt.da_init(jnp.exp(da.log_eps), dt)
@@ -131,6 +141,7 @@ def sample_nuts(
     target_accept: float = 0.8,
     init_radius: float = 2.0,
     thin: int = 1,
+    dense_mass: bool = False,
     dtype=jnp.float64,
 ) -> ChainResult:
     """Run NUTS with Stan-style windowed warmup; all chains vmapped + jitted.
@@ -161,6 +172,7 @@ def sample_nuts(
             max_depth,
             target_accept,
             thin,
+            dense_mass,
         )
         return jax.vmap(one_chain)(keys, init)
 

@@ -231,9 +231,13 @@ def student_t_lpdf(y, nu, mu, sigma, *, propto=False):
 
 
 def _student_t_cdf_elem(z, nu):
-    """CDF of standard t via the regularized incomplete beta."""
+    """CDF of standard t via the regularized incomplete beta (the
+    differentiable ``special.inc_beta``, so gradients wrt nu work —
+    ref: inc_beta_dda/ddb powering student_t_cdf derivatives)."""
+    from math_tpu.special import inc_beta
+
     q = nu / (nu + jnp.square(z))
-    ib = jsp.betainc(0.5 * nu, 0.5, q)
+    ib = inc_beta(0.5 * nu, 0.5 * jnp.ones_like(nu), q)
     return jnp.where(z > 0, 1.0 - 0.5 * ib, 0.5 * ib)
 
 

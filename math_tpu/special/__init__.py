@@ -41,7 +41,6 @@ from math_tpu.special.basic import (  # noqa: F401
     erf,
     erfc,
     inv_erfc,
-    inc_beta,
     gamma_p,
     gamma_q,
     inv,
@@ -57,3 +56,11 @@ from math_tpu.special.basic import (  # noqa: F401
     logaddexp,
 )
 from math_tpu.special.owens_t import owens_t  # noqa: F401
+from math_tpu.special.incbeta import (  # noqa: F401
+    inc_beta,
+    inc_beta_dda,
+    inc_beta_ddb,
+    inc_beta_ddz,
+    grad_2F1,
+    grad_F32,
+)

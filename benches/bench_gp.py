@@ -21,7 +21,7 @@ def main():
     xg, yg = gp_regression.synthetic_data(n, dtype=np.float32)
     model = gp_regression.make(n, jitter=1e-5)
     args = (jnp.asarray(xg), jnp.asarray(yg))
-    num_chains, warm, samp = 8, 150, 150
+    num_chains, warm, samp = 4, 100, 100
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     z0 = jax.random.uniform(
@@ -31,7 +31,7 @@ def main():
     run = jax.jit(
         lambda k, z, *a: run_pooled_chains(
             k, z, model.logp, args=a,
-            num_warmup=warm, num_samples=samp, max_depth=6, target_accept=0.8,
+            num_warmup=warm, num_samples=samp, max_depth=5, target_accept=0.8,
         )
     )
     wall, res = timed(run, keys, z0, *args)

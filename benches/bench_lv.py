@@ -17,7 +17,7 @@ from math_tpu.models import lotka_volterra
 def main():
     ts, yobs, theta_true, _ = lotka_volterra.synthetic_data(20)
     model = lotka_volterra.make(ts, solver="rk4")
-    num_chains, warm, samp = 16, 300, 300
+    num_chains, warm, samp = 16, 150, 150
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     z0 = jax.random.uniform(
@@ -27,7 +27,7 @@ def main():
     run = jax.jit(
         lambda k, z, yo: run_pooled_chains(
             k, z, model.logp, args=(yo,),
-            num_warmup=warm, num_samples=samp, max_depth=7, target_accept=0.8,
+            num_warmup=warm, num_samples=samp, max_depth=7, target_accept=0.85,
         )
     )
     wall, res = timed(run, keys, z0, jnp.asarray(yobs, jnp.float32))

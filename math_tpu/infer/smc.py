@@ -29,7 +29,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from math_tpu.infer.nuts import IntegratorState, nuts_kernel
+from math_tpu.infer.nuts import IntegratorState, _vary_like, nuts_kernel
 
 
 class SMCResult(NamedTuple):
@@ -74,9 +74,10 @@ def _next_temperature(t, log_like, target_ess, max_bisect=30):
         lo, hi, it = carry
         return it < max_bisect
 
-    lo, hi, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(t), 1.0 - t, jnp.asarray(0, jnp.int32))
+    init = _vary_like(
+        (jnp.zeros_like(t), 1.0 - t, jnp.asarray(0, jnp.int32)), log_like
     )
+    lo, hi, _ = jax.lax.while_loop(cond, body, init)
     dt = jnp.where(hi_ok, 1.0 - t, lo)
     return jnp.minimum(t + dt, 1.0)
 
@@ -94,8 +95,15 @@ def smc_tempered(
     max_stages: int = 100,
     init_scale: float = 1.0,
     dtype=jnp.float64,
+    axis_name: Optional[str] = None,
 ) -> SMCResult:
-    """Adaptive tempered SMC from N(0, init_scale^2 I) to the posterior."""
+    """Adaptive tempered SMC from N(0, init_scale^2 I) to the posterior.
+
+    Under ``shard_map`` pass ``axis_name``: ``num_particles`` is then the
+    *local* count; temperature selection and resampling operate on the
+    globally gathered weight vector (``all_gather`` — SURVEY.md §5.8), and
+    cross-shard ancestors are fetched by gathering particles.
+    """
 
     def ld(z):
         return logdensity_fn(z, *args)
@@ -108,21 +116,43 @@ def smc_tempered(
     def tempered(z, t):
         return ref_lp(z) + t * (ld(z) - ref_lp(z))
 
+    def gather(x):
+        if axis_name is None:
+            return x
+        return jax.lax.all_gather(x, axis_name, tiled=True)
+
+    # Two PRNG streams: ``key`` (shared — identical on every shard, drives
+    # temperature/resampling so all shards agree on global ancestry) and
+    # ``key_local`` (per-shard — drives particle init and mutation noise).
     key, k_init = jax.random.split(key)
+    if axis_name is not None:
+        key_local = jax.random.fold_in(key, 1 + jax.lax.axis_index(axis_name))
+        k_init = jax.random.fold_in(k_init, jax.lax.axis_index(axis_name))
+    else:
+        key_local = jax.random.fold_in(key, 1)
     z = init_scale * jax.random.normal(k_init, (num_particles, dim), dtype)
 
     def stage(carry):
-        z, t, logz, stage_idx, eps, key = carry
+        z, t, logz, stage_idx, eps, key, key_local = carry
         log_like = jax.vmap(lambda zz: ld(zz) - ref_lp(zz))(z)
         log_like = jnp.where(jnp.isnan(log_like), -jnp.inf, log_like)
-        t_new = _next_temperature(t, log_like, target_rel_ess)
+        log_like_g = gather(log_like)
+        t_new = _next_temperature(t, log_like_g, target_rel_ess)
         dt = t_new - t
-        log_w = dt * log_like
-        logz = logz + jax.scipy.special.logsumexp(log_w) - jnp.log(num_particles)
+        log_w_g = dt * log_like_g
+        logz = logz + jax.scipy.special.logsumexp(log_w_g) - jnp.log(
+            log_w_g.shape[0]
+        )
 
         key, k_res = jax.random.split(key)
-        idx = systematic_resample(k_res, log_w)
-        z = z[idx]
+        idx = systematic_resample(k_res, log_w_g)
+        z_g = gather(z)
+        if axis_name is not None:
+            shard = jax.lax.axis_index(axis_name)
+            idx = jax.lax.dynamic_slice_in_dim(
+                idx, shard * num_particles, num_particles
+            )
+        z = z_g[idx]
 
         # mutation: NUTS at the new tempered target
         lg = jax.value_and_grad(lambda zz: tempered(zz, t_new))
@@ -132,31 +162,42 @@ def smc_tempered(
             partial(nuts_kernel, max_depth=max_depth),
             in_axes=(0, 0, None, None, None),
         )
-        inv_mass = jnp.maximum(jnp.var(z, axis=0), 1e-6)
+        # cross-shard pooled moment for the mutation metric
+        mean_g = jnp.mean(z, axis=0)
+        var_g = jnp.mean(jnp.square(z - mean_g), axis=0)
+        if axis_name is not None:
+            mean_g = jax.lax.pmean(jnp.mean(z, axis=0), axis_name)
+            var_g = jax.lax.pmean(
+                jnp.mean(jnp.square(z - mean_g), axis=0), axis_name
+            )
+        inv_mass = jnp.maximum(var_g, 1e-6)
 
         def mstep(carry2, i):
             states, key2 = carry2
             key2, k = jax.random.split(key2)
             ks = jax.random.split(k, num_particles)
             states, stats = kernel(ks, states, lg, eps, inv_mass)
-            return (states, key2), jnp.mean(stats.accept_prob)
+            acc = jnp.mean(stats.accept_prob)
+            if axis_name is not None:
+                acc = jax.lax.pmean(acc, axis_name)
+            return (states, key2), acc
 
-        (states, key), accs = jax.lax.scan(
-            (lambda c, i: mstep(c, i)), (states, key), jnp.arange(mutation_steps)
+        (states, key_local), accs = jax.lax.scan(
+            (lambda c, i: mstep(c, i)),
+            (states, key_local),
+            jnp.arange(mutation_steps),
         )
         acc = accs[-1]
         # crude Robbins-Monro step-size tune toward 0.65 acceptance
         eps = eps * jnp.exp(1.0 * (acc - 0.65))
-        return states.z, t_new, logz, stage_idx + 1, eps, key
+        return states.z, t_new, logz, stage_idx + 1, eps, key, key_local
 
     def cond(carry):
-        _, t, _, stage_idx, _, _ = carry
+        _, t, _, stage_idx, _, _, _ = carry
         return (t < 1.0) & (stage_idx < max_stages)
 
     eps0 = jnp.asarray(0.2, dtype)
-    z, t, logz, stages, eps, key = jax.lax.while_loop(
-        cond,
-        stage,
+    init = _vary_like(
         (
             z,
             jnp.zeros((), dtype),
@@ -164,8 +205,19 @@ def smc_tempered(
             jnp.asarray(0, jnp.int32),
             eps0,
             key,
+            key_local,
         ),
+        z,
     )
+    z, t, logz, stages, eps, key, key_local = jax.lax.while_loop(
+        cond, stage, init
+    )
+    if axis_name is not None:
+        # scalars are logically replicated (driven by the shared key and
+        # gathered weights); make that explicit for the vma type system
+        logz = jax.lax.pmean(logz, axis_name)
+        eps = jax.lax.pmean(eps, axis_name)
+        stages = jax.lax.pmax(stages, axis_name)
     return SMCResult(
         particles=z, log_evidence=logz, num_stages=stages, final_step_size=eps
     )

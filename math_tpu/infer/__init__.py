@@ -1,3 +1,7 @@
 from math_tpu.infer.nuts import nuts_kernel, IntegratorState, NutsStats  # noqa: F401
 from math_tpu.infer.sample import sample_nuts, ChainResult  # noqa: F401
+from math_tpu.infer.pooled import run_pooled_chains, PooledResult  # noqa: F401
+from math_tpu.infer.advi import advi, advi_sample, ADVIResult  # noqa: F401
+from math_tpu.infer.smc import smc_tempered, SMCResult  # noqa: F401
+from math_tpu.infer.resume import sample_nuts_checkpointed  # noqa: F401
 from math_tpu.infer import adapt  # noqa: F401

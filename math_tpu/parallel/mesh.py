@@ -35,6 +35,27 @@ def chain_mesh(n_devices: Optional[int] = None, axis: str = "chain") -> Mesh:
     return jax.make_mesh((n,), (axis,), devices=devs[:n])
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Join a multi-host TPU slice (the boost.mpi `mpi_cluster` successor).
+
+    SPMD needs no command channel: after `jax.distributed.initialize` every
+    host sees the global device set and runs the same traced program; mesh
+    axes laid out so chain-parallel collectives ride ICI within a slice and
+    only warmup-statistic pmeans cross DCN (SURVEY.md §5.8).  Arguments
+    default to TPU auto-detection (GCE metadata) when omitted.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.devices()
+
+
 def sample_nuts_sharded(
     logdensity_fn: Callable,
     key,

@@ -121,6 +121,34 @@ def expect_ad(f, *args, tol=1e-5, hessian=False, hess_tol=1e-4):
         expect_near_rel(h_ad, h_fd, hess_tol, "hessian vs finite diff")
 
 
+def expect_ad_vectorized(f, *args, tol=1e-5):
+    """Sweep scalar/vector/broadcast shape combinations of the arguments.
+
+    Analog of ``expect_ad_vectorized`` / the prob-test generator's argument
+    instantiation sweep (``test/prob/generate_tests.cpp``): each float
+    argument is instantiated as {scalar, length-3 vector} (all combinations)
+    and the summed result must be consistent with the all-scalar evaluation
+    summed over the broadcast; gradients are fd-checked at one mixed combo.
+    """
+    import itertools
+
+    base = [np.asarray(a, dtype=np.float64) for a in args]
+    n_args = len(base)
+
+    def lift(a, kind):
+        return np.full(3, a) if kind == 1 else a
+
+    scalar_val = float(np.asarray(f(*base)))
+    for kinds in itertools.product([0, 1], repeat=n_args):
+        if not any(kinds):
+            continue
+        lifted = [lift(a, k) for a, k in zip(base, kinds)]
+        got = float(np.asarray(f(*lifted)))
+        expect_near_rel(got, 3.0 * scalar_val, 1e-10, f"broadcast {kinds}")
+    mixed = [lift(a, i % 2) for i, a in enumerate(base)]
+    expect_ad(f, *mixed, tol=tol)
+
+
 def expect_all_throw_or_invalid(f, *args):
     """Invalid input must yield -inf or nan from every transform.
 

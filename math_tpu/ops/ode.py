@@ -217,6 +217,68 @@ def integrate_ode_bdf(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
     return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
 
 
+def integrate_dae(
+    f: Callable,
+    g: Callable,
+    y0,
+    z0,
+    t0,
+    ts,
+    theta,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    max_num_steps: int = 10_000,
+    newton_iters: int = 20,
+):
+    """Semi-explicit index-1 DAE (ref: ``integrate_dae`` / IDAS):
+
+        y' = f(t, y, z, theta),    0 = g(t, y, z, theta)
+
+    TPU-native reduction: the algebraic variables are eliminated inside the
+    RHS by a damped-Newton solve with implicit-function-theorem gradients
+    (``lax.custom_root``), turning the DAE into an ODE in ``y`` that the
+    adjoint DP5 core integrates.  Valid when dg/dz is nonsingular along the
+    trajectory (the index-1 condition IDAS also requires).
+
+    Returns (ys, zs) at the requested times.
+    """
+    from math_tpu.ops.solve import algebra_solver_newton
+
+    y0 = jnp.asarray(y0)
+    z0 = jnp.asarray(z0)
+    theta = jnp.asarray(theta)
+    nz = z0.shape[-1]
+
+    ny = y0.shape[-1]
+
+    def solve_z(t, y, th, z_guess):
+        # pack (t, y, theta) into the solver's parameter vector; everything
+        # traced must flow through arguments — the rhs closure is a static
+        # argnum of the adjoint custom_vjp, so captured tracers would leak.
+        packed = jnp.concatenate([jnp.reshape(t, (1,)), y, th])
+
+        def resid(z, packed):
+            t = packed[0]
+            y = packed[1 : 1 + ny]
+            th = packed[1 + ny :]
+            return g(t, y, z, th)
+
+        return algebra_solver_newton(
+            resid, z_guess, packed, max_iter=newton_iters, tol=10 * atol
+        )
+
+    def rhs(t, y, th):
+        z = solve_z(t, y, th, z0)
+        return f(t, y, z, th)
+
+    ys = odeint_adjoint(rhs, y0, t0, jnp.asarray(ts), theta, rtol, atol,
+                        max_num_steps)
+    zs = jax.vmap(lambda t, y: solve_z(t, y, theta, z0))(
+        jnp.asarray(ts, ys.dtype), ys
+    )
+    return ys, zs
+
+
 def ode_rk4_fixed(f: Callable, y0, t0, ts, theta, steps_per_interval: int = 16):
     """Fixed-grid RK4 via scan — fully differentiable by tracing, the
     cross-check oracle for the adjoint path (and the fast choice when the

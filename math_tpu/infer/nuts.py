@@ -142,21 +142,27 @@ def _leaf_ckpt_idx(leaf):
 
 
 def _iterative_turning(inv_mass, r_new, rho_cum, r_ckpts, rho_ckpts, idx_min, idx_max):
-    """Check U-turn of every subtree span ending at the current (odd) leaf."""
+    """Check U-turn of every subtree span ending at the current (odd) leaf.
 
-    def body(carry):
-        i, _ = carry
-        rho_span = rho_cum - rho_ckpts[i] + r_ckpts[i]
-        turning = _is_turning(inv_mass, r_ckpts[i], r_new, rho_span)
-        return i - 1, turning
+    All ``max_depth`` checkpoint slots are checked in one masked vectorized
+    pass: under ``vmap`` over chains a data-dependent while_loop serializes
+    every lane to the worst case, while this is a handful of (K, D) x (D,)
+    contractions on the VPU.
+    """
+    k = r_ckpts.shape[0]
+    slots = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+    mask = (slots >= idx_min) & (slots <= idx_max)
+    rho_span = rho_cum[None, :] - rho_ckpts + r_ckpts  # (K, D)
+    turn_left = jnp.sum(velocity_batch(inv_mass, r_ckpts) * rho_span, axis=-1) <= 0
+    turn_right = (jnp.sum(velocity(inv_mass, r_new) * rho_span, axis=-1)) <= 0
+    return jnp.any(mask & (turn_left | turn_right))
 
-    def cond(carry):
-        i, turning = carry
-        return (i >= idx_min) & ~turning
 
-    init = _vary_like((idx_max, jnp.asarray(False)), rho_cum)
-    _, turning = jax.lax.while_loop(cond, body, init)
-    return turning
+def velocity_batch(inv_mass, r):
+    """M^-1 r for a batch of momenta (K, D)."""
+    if inv_mass.ndim == 2:
+        return r @ inv_mass.T
+    return r * inv_mass[None, :]
 
 
 def _build_subtree(

@@ -205,16 +205,15 @@ def integrate_ode_adams(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
     return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
 
 
-def integrate_ode_bdf(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
-                      max_num_steps=200_000):
+def integrate_ode_bdf(f, y0, t0, ts, theta, rtol=1e-6, atol=1e-9,
+                      max_num_steps=100_000):
     """Stiff-path API (ref: cvodes_integrator.hpp CV_BDF).
 
-    Round-1 implementation note: mildly-stiff systems are handled by the
-    adaptive DP5 core with tight tolerance and a high step budget; a true
-    implicit (Kvaerno/BDF + Newton) kernel is on the roadmap (SURVEY.md
-    hard part (d)).
-    """
-    return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
+    Backed by the implicit L-stable TR-BDF2 solver with Newton stages and
+    a TR-BDF2 adjoint backward pass (``ops.ode_stiff``)."""
+    from math_tpu.ops.ode_stiff import integrate_ode_trbdf2
+
+    return integrate_ode_trbdf2(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
 
 
 def integrate_dae(

@@ -85,6 +85,19 @@ class LogDensity:
     def logp_and_grad(self, theta):
         return jax.value_and_grad(self.logp)(theta)
 
+    def transform_draws(self, positions):
+        """Constrain a batch of draws: (..., dim) -> dict of (..., *shape).
+
+        The "generated quantities" bridge: feed ``ChainResult.position``
+        (chains, draws, dim) and get named constrained parameter arrays.
+        """
+        flat = jnp.reshape(jnp.asarray(positions), (-1, self.dim))
+        cons = jax.vmap(self.constrain)(flat)
+        lead = jnp.shape(positions)[:-1]
+        return {
+            name: jnp.reshape(v, lead + v.shape[1:]) for name, v in cons.items()
+        }
+
     def initial_positions(self, key, num_chains, init_radius=2.0):
         """Stan-style uniform(-2, 2) unconstrained inits."""
         return jax.random.uniform(

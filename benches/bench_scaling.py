@@ -16,7 +16,9 @@ import time
 
 SCRIPT = r"""
 import os, time, json
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count={n}"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count={n}"
+)
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp

@@ -291,7 +291,9 @@ def double_exponential_cdf(y, mu, sigma):
     yb, mub, sb = bcast(y, mu, sigma)
     ok = ok_pos(sb)
     z = (yb - mub) / safe(sb, ok)
-    p = jnp.where(z < 0, 0.5 * jnp.exp(jnp.minimum(z, 0.0)), 1.0 - 0.5 * jnp.exp(-jnp.maximum(z, 0.0)))
+    p = jnp.where(
+        z < 0, 0.5 * jnp.exp(jnp.minimum(z, 0.0)), 1.0 - 0.5 * jnp.exp(-jnp.maximum(z, 0.0))
+    )
     return finish_prod(p, ok)
 
 
@@ -873,7 +875,9 @@ def pareto_cdf(y, y_min, alpha):
     yb, mb, ab = bcast(y, y_min, alpha)
     ok = ok_pos(mb) & ok_pos(ab)
     p = jnp.where(
-        yb >= mb, -jnp.expm1(safe(ab, ok) * (jnp.log(safe(mb, ok)) - jnp.log(jnp.maximum(yb, 1e-300)))), 0.0
+        yb >= mb,
+        -jnp.expm1(safe(ab, ok) * (jnp.log(safe(mb, ok)) - jnp.log(jnp.maximum(yb, 1e-300)))),
+        0.0,
     )
     return finish_prod(p, ok)
 

@@ -93,14 +93,20 @@ def wiener_lpdf(y, alpha, tau, beta, delta, *, propto=False):
         2.0,
     )
 
-    # small-time series: sum_k (w + 2k) exp(-(w+2k)^2 / (2x))
+    # small-time series: sum_k (w + 2k) exp(-(w+2k)^2 / (2x)), evaluated as
+    # a signed logsumexp so deep-tail tiny x (terms ~ exp(-w^2/2x) << 1e-300)
+    # keeps full log-scale accuracy instead of underflowing to a clamp
     kk = jnp.arange(-_WIENER_K_SMALL, _WIENER_K_SMALL + 1, dtype=x.dtype)
     arg = w[..., None] + 2.0 * kk
-    small_sum = jnp.sum(
-        arg * jnp.exp(-jnp.square(arg) * 0.5 / x[..., None]), axis=-1
+    log_terms = (
+        jnp.log(jnp.maximum(jnp.abs(arg), 1e-300))
+        - jnp.square(arg) * 0.5 / x[..., None]
+    )
+    lsum, sgn = jsp.logsumexp(
+        log_terms, axis=-1, b=jnp.sign(arg), return_sign=True
     )
     log_small = (
-        jnp.log(jnp.maximum(small_sum, 1e-300))
+        jnp.where(sgn > 0, lsum, -jnp.inf)
         - (0.5 * math.log(2.0) + 0.5 * math.log(math.pi))
         - 1.5 * log_x
     )

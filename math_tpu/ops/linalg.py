@@ -12,6 +12,8 @@ factor diagonals).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
@@ -239,3 +241,181 @@ def distance(a, b):
 
 def squared_distance(a, b):
     return jnp.sum(jnp.square(a - b), axis=-1)
+
+
+# --- triangular/factorized solve variants (ref: mdivide_left_tri.hpp,
+# --- mdivide_right_tri.hpp, mdivide_right_ldlt.hpp, mdivide_right_spd.hpp) --
+
+
+def mdivide_left_tri(a, b=None, lower: bool = True):
+    """Triangular solve A \\ b; b=None inverts A (ref: mdivide_left_tri.hpp,
+    which is templated on the Eigen view; ``lower`` replaces the template
+    arg)."""
+    if b is None:
+        b = jnp.eye(a.shape[-1], dtype=a.dtype)
+    return jsl.solve_triangular(a, b, lower=lower)
+
+
+def mdivide_right_tri(b, a, lower: bool = True):
+    """b A^-1 with triangular A (ref: mdivide_right_tri.hpp)."""
+    return jnp.swapaxes(
+        jsl.solve_triangular(
+            jnp.swapaxes(a, -1, -2), jnp.swapaxes(b, -1, -2), lower=not lower
+        ),
+        -1,
+        -2,
+    )
+
+
+def mdivide_right_ldlt(b, ldlt):
+    """b A^-1 from a cached factorization (ref: mdivide_right_ldlt.hpp)."""
+    return jnp.swapaxes(jsl.cho_solve(ldlt, jnp.swapaxes(b, -1, -2)), -1, -2)
+
+
+def mdivide_right_spd(b, a):
+    """b A^-1 with SPD A (ref: mdivide_right_spd.hpp)."""
+    return mdivide_right_ldlt(b, ldlt_factor(a))
+
+
+def trace_gen_inv_quad_form_ldlt(d, ldlt, b):
+    """trace(D B^T A^-1 B) (ref: trace_gen_inv_quad_form_ldlt.hpp)."""
+    sol = jsl.cho_solve(ldlt, b)
+    return jnp.trace(d @ jnp.swapaxes(b, -1, -2) @ sol)
+
+
+def chol2inv(L):
+    """Inverse of A from its Cholesky factor L (ref: chol2inv.hpp)."""
+    return jsl.cho_solve((L, True), jnp.eye(L.shape[-1], dtype=L.dtype))
+
+
+def matrix_exp_2x2(a):
+    """Closed-form 2x2 matrix exponential (ref: matrix_exp_2x2.hpp).
+
+    Uses the Corless et al. formula: for A = [[a, b], [c, d]],
+    delta^2 = (a-d)^2 + 4bc; exp(A) = e^{(a+d)/2} [cosh-like terms].
+    Branchless over the sign of delta^2 (cosh/sinh vs cos/sin unified
+    via complex-free formulation with sinhc).
+    """
+    a = jnp.asarray(a)
+    a11, a12 = a[..., 0, 0], a[..., 0, 1]
+    a21, a22 = a[..., 1, 0], a[..., 1, 1]
+    half_tr = 0.5 * (a11 + a22)
+    det_like = 0.25 * (a11 - a22) ** 2 + a12 * a21  # (delta/2)^2
+    # s = sqrt(|q|); cosh(s)/cos(s) and sinhc(s)/sinc(s) chosen by sign(q)
+    s = jnp.sqrt(jnp.abs(det_like))
+    s_safe = jnp.maximum(s, 1e-30)
+    pos = det_like >= 0
+    c = jnp.where(pos, jnp.cosh(s), jnp.cos(s))
+    sc = jnp.where(pos, jnp.sinh(s) / s_safe, jnp.sin(s) / s_safe)
+    # small-s limit: sinhc -> 1
+    sc = jnp.where(s < 1e-8, jnp.ones_like(sc), sc)
+    e = jnp.exp(half_tr)
+    m11 = e * (c + 0.5 * (a11 - a22) * sc)
+    m22 = e * (c - 0.5 * (a11 - a22) * sc)
+    m12 = e * a12 * sc
+    m21 = e * a21 * sc
+    row1 = jnp.stack([m11, m12], axis=-1)
+    row2 = jnp.stack([m21, m22], axis=-1)
+    return jnp.stack([row1, row2], axis=-2)
+
+
+# --- CSR accessors (ref: csr_extract_{u,v,w}.hpp, csr_to_dense_matrix.hpp,
+# --- csr_u_to_z.hpp).  Dense->CSR extraction is host-side preprocessing in
+# --- Stan programs; static shapes require a dense nnz = m*n layout here. ---
+
+
+def csr_extract_w(a):
+    """Values of the dense matrix in CSR (row-major) order."""
+    a = jnp.asarray(a)
+    return a.reshape(*a.shape[:-2], -1)
+
+
+def csr_extract_v(a):
+    """1-based column indices, row-major (ref: csr_extract_v.hpp)."""
+    m, n = a.shape[-2], a.shape[-1]
+    return jnp.tile(jnp.arange(1, n + 1, dtype=jnp.int32), m)
+
+
+def csr_extract_u(a):
+    """1-based row start pointers (ref: csr_extract_u.hpp)."""
+    m, n = a.shape[-2], a.shape[-1]
+    return jnp.arange(0, m + 1, dtype=jnp.int32) * n + 1
+
+
+def csr_to_dense_matrix(m, n, w, v, u):
+    """Rebuild the dense matrix from CSR components (ref:
+    csr_to_dense_matrix.hpp)."""
+    w = jnp.asarray(w)
+    v = jnp.asarray(v, jnp.int32) - 1
+    u = jnp.asarray(u, jnp.int32) - 1
+    nnz = w.shape[0]
+    rows = jnp.searchsorted(u, jnp.arange(nnz), side="right") - 1
+    out = jnp.zeros((m, n), dtype=w.dtype)
+    return out.at[rows, v].add(w)
+
+
+def csr_u_to_z(u, i):
+    """Number of non-zeros in row i (1-based) (ref: csr_u_to_z.hpp)."""
+    u = jnp.asarray(u, jnp.int32)
+    return u[i] - u[i - 1]
+
+
+# --- sequence statistics (ref: autocorrelation.hpp, autocovariance.hpp,
+# --- cumulative_sum.hpp, sort_indices_*.hpp, rank.hpp) ----------------------
+
+
+def autocorrelation(y):
+    """Autocorrelations at lags 0..N-1 via FFT (ref: autocorrelation.hpp:
+    centered zero-padded FFT, lag-k term / (N - k), normalized by lag 0)."""
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    yc = y - jnp.mean(y, axis=-1, keepdims=True)
+    f = jnp.fft.rfft(yc, nfft, axis=-1)
+    ac = jnp.fft.irfft(f * jnp.conj(f), nfft, axis=-1)[..., :n].real
+    ac = ac / (n - jnp.arange(n, dtype=y.dtype))
+    return ac / ac[..., :1]
+
+
+def autocovariance(y):
+    """Autocovariances at lags 0..N-1 (ref: autocovariance.hpp: the
+    autocorrelation scaled by the population variance)."""
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    var = jnp.var(y, axis=-1, keepdims=True)  # population (1/N) variance
+    return autocorrelation(y) * var
+
+
+def cumulative_sum(x):
+    """Running sum (ref: cumulative_sum.hpp)."""
+    return jnp.cumsum(x, axis=-1)
+
+
+def sort_indices_asc(x):
+    """1-based ascending sort permutation (ref: sort_indices_asc.hpp)."""
+    return jnp.argsort(jnp.asarray(x), axis=-1) + 1
+
+
+def sort_indices_desc(x):
+    """1-based descending sort permutation (ref: sort_indices_desc.hpp)."""
+    return jnp.argsort(-jnp.asarray(x), axis=-1) + 1
+
+
+def rank(x, s):
+    """Number of components strictly smaller than x[s] (1-based s)
+    (ref: rank.hpp)."""
+    x = jnp.asarray(x)
+    return jnp.sum(x < x[..., s - 1])
+
+
+# --- softmax family (ref: softmax.hpp, log_softmax.hpp) ---------------------
+
+
+def softmax(x):
+    """exp(x) / sum(exp(x)) along the last axis (ref: softmax.hpp)."""
+    return jax.nn.softmax(x, axis=-1)
+
+
+def log_softmax(x):
+    """x - log_sum_exp(x) along the last axis (ref: log_softmax.hpp)."""
+    return jax.nn.log_softmax(x, axis=-1)

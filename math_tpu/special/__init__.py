@@ -55,6 +55,17 @@ from math_tpu.special.basic import (  # noqa: F401
     fma,
     logaddexp,
 )
+from math_tpu.special.basic import (  # noqa: F401
+    beta,
+    choose,
+    falling_factorial,
+    rising_factorial,
+    inv_cloglog,
+    log_inv_logit_diff,
+    step,
+    int_step,
+    sign,
+)
 from math_tpu.special.owens_t import owens_t  # noqa: F401
 from math_tpu.special.incbeta import (  # noqa: F401
     inc_beta,
@@ -63,4 +74,17 @@ from math_tpu.special.incbeta import (  # noqa: F401
     inc_beta_ddz,
     grad_2F1,
     grad_F32,
+)
+from math_tpu.special.bessel import (  # noqa: F401
+    bessel_first_kind,
+    bessel_second_kind,
+    modified_bessel_first_kind,
+    modified_bessel_second_kind,
+)
+from math_tpu.special.hyper import (  # noqa: F401
+    F32,
+    grad_inc_beta,
+    grad_reg_inc_beta,
+    grad_reg_inc_gamma,
+    grad_reg_lower_inc_gamma,
 )

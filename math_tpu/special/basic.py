@@ -262,3 +262,61 @@ def log_modified_bessel_first_kind(v, z):
         return v * logz2 + jsp.logsumexp(terms, axis=-1)
 
     return series(v, z)
+
+
+# --- gamma-ratio / combinatorial values (ref: beta.hpp, choose.hpp,
+# --- falling_factorial.hpp, rising_factorial.hpp) ---------------------------
+
+
+def beta(a, b):
+    """Beta function B(a, b) (ref: beta.hpp)."""
+    return jnp.exp(lbeta(a, b))
+
+
+def choose(n, k):
+    """Exact binomial coefficient for integer args (ref: choose.hpp)."""
+    return jnp.round(jnp.exp(lchoose(n, k)))
+
+
+def falling_factorial(x, n):
+    """x (x-1) ... (x-n+1) = Gamma(x+1)/Gamma(x-n+1) for x > n-1
+    (ref: falling_factorial.hpp)."""
+    return jnp.exp(log_falling_factorial(x, n))
+
+
+def rising_factorial(x, n):
+    """x (x+1) ... (x+n-1) = Gamma(x+n)/Gamma(x) for x > 0
+    (ref: rising_factorial.hpp)."""
+    return jnp.exp(log_rising_factorial(x, n))
+
+
+# --- link-ish scalars (ref: inv_cloglog.hpp, log_inv_logit_diff.hpp,
+# --- step.hpp, int_step.hpp, sign.hpp) --------------------------------------
+
+
+def inv_cloglog(x):
+    """1 - exp(-exp(x)) (ref: inv_cloglog.hpp); -expm1 form is stable for
+    small exp(x)."""
+    return -jnp.expm1(-jnp.exp(x))
+
+
+def log_inv_logit_diff(x, y):
+    """log(inv_logit(x) - inv_logit(y)), x > y (ref: log_inv_logit_diff.hpp:
+    x - log1p_exp(x) + log1m_exp(y - x) - log1p_exp(y))."""
+    return x - log1p_exp(x) + log1m_exp(y - x) - log1p_exp(y)
+
+
+def step(y):
+    """0 if y < 0 else 1 (ref: step.hpp)."""
+    y = jnp.asarray(y)
+    return jnp.where(y < 0, 0.0, 1.0).astype(y.dtype)
+
+
+def int_step(y):
+    """1 if y > 0 else 0 (ref: int_step.hpp)."""
+    return jnp.where(jnp.asarray(y) > 0, 1, 0)
+
+
+def sign(x):
+    """-1 / 0 / 1 (ref: sign.hpp)."""
+    return jnp.sign(x)

@@ -64,6 +64,16 @@ from math_tpu.transforms.matrix import (  # noqa: F401
     cov_matrix_constrain,
     cov_matrix_constrain_lp,
     cov_matrix_free,
+    cov_matrix_constrain_lkj,
+    cov_matrix_constrain_lkj_lp,
+    cov_matrix_free_lkj,
+    read_corr_L,
+    read_corr_matrix,
+    read_cov_L,
+    read_cov_matrix,
+    factor_U,
+    factor_cov_matrix,
+    make_nu,
 )
 from math_tpu.transforms.api import (  # noqa: F401
     Transform,

@@ -166,6 +166,105 @@ def cov_matrix_free(y, k: int):
     return L[..., rows, cols]
 
 
+# --- read_corr/read_cov builders (ref: read_corr_L.hpp, read_cov_L.hpp,
+# --- read_corr_matrix.hpp, read_cov_matrix.hpp) -----------------------------
+
+
+def read_corr_L(cpcs, k: int):
+    """Cholesky factor of a correlation matrix from canonical partial
+    correlations (C-vine, column-major order).  ref: ``read_corr_L.hpp``."""
+    return _read_corr_L(jnp.asarray(cpcs), k)[0]
+
+
+def read_corr_matrix(cpcs, k: int):
+    """Correlation matrix from CPCs (ref: ``read_corr_matrix.hpp``)."""
+    L = read_corr_L(cpcs, k)
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def read_cov_L(cpcs, sds, k: int | None = None):
+    """Covariance Cholesky factor = diag(sds) @ read_corr_L (ref:
+    ``read_cov_L.hpp``)."""
+    sds = jnp.asarray(sds)
+    k = sds.shape[-1] if k is None else k
+    return sds[..., :, None] * read_corr_L(cpcs, k)
+
+
+def read_cov_matrix(cpcs, sds):
+    """Covariance matrix from CPCs + standard deviations (ref:
+    ``read_cov_matrix.hpp``)."""
+    L = read_cov_L(cpcs, sds)
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def factor_U(U, k: int):
+    """Upper-tri Cholesky of a correlation matrix -> atanh-CPCs (ref:
+    ``factor_U.hpp``).  Row-major over the upper triangle == the C-vine
+    column-major lower ordering used by ``read_corr_L``."""
+    L = jnp.swapaxes(jnp.asarray(U), -1, -2)
+    s = jnp.concatenate(
+        [
+            jnp.zeros_like(L[..., :1]),
+            jnp.cumsum(jnp.square(L[..., :-1]), axis=-1),
+        ],
+        axis=-1,
+    )
+    z = L / jnp.sqrt(jnp.maximum(1.0 - s, 1e-300))
+    rows, cols = _tril_colmajor(k)
+    return jnp.arctanh(jnp.clip(z[..., rows, cols], -1 + 1e-15, 1 - 1e-15))
+
+
+def factor_cov_matrix(y, k: int | None = None):
+    """Factor a covariance matrix into (atanh-CPCs, log-sds) (ref:
+    ``factor_cov_matrix.hpp``; tuple return replaces output params)."""
+    y = jnp.asarray(y)
+    k = y.shape[-1] if k is None else k
+    sds = jnp.sqrt(jnp.diagonal(y, axis1=-2, axis2=-1))
+    corr = y / (sds[..., :, None] * sds[..., None, :])
+    return corr_matrix_free(corr, k), jnp.log(sds)
+
+
+def make_nu(eta, k: int):
+    """Beta-variate degrees of freedom for the LKJ onion construction
+    (ref: ``make_nu.hpp``): row i (0-based) of the CPC triangle gets
+    nu = 2 * (eta + (k - 2)/2 - i/2), repeated k-1-i times."""
+    rows = np.repeat(np.arange(k - 1), np.arange(k - 1, 0, -1))
+    return 2.0 * (eta + 0.5 * (k - 2.0) - 0.5 * jnp.asarray(rows, dtype=jnp.result_type(eta, 1.0)))
+
+
+# --- cov_matrix via LKJ parameterization: CPCs + sds (ref:
+# --- cov_matrix_constrain_lkj.hpp, cov_matrix_free_lkj.hpp) -----------------
+
+
+def cov_matrix_constrain_lkj(x, k: int):
+    """x = [(k choose 2) unconstrained CPCs, k unconstrained log-sds]."""
+    kc2 = (k * (k - 1)) // 2
+    cpcs = jnp.tanh(x[..., :kc2])
+    sds = jnp.exp(x[..., kc2:])
+    return read_cov_matrix(cpcs, sds)
+
+
+def cov_matrix_constrain_lkj_lp(x, k: int):
+    kc2 = (k * (k - 1)) // 2
+    z = jnp.tanh(x[..., :kc2])
+    logsds = x[..., kc2:]
+    sds = jnp.exp(logsds)
+    # corr_constrain (tanh) jacobian + positive_constrain jacobian
+    lp = jnp.sum(log1m(jnp.square(z))) + jnp.sum(logsds)
+    # read_corr_L jacobian (column-weighted) + read_cov_L adjustment
+    rows, cols = _tril_colmajor(k)
+    wts = jnp.asarray(np.maximum(k - cols - 2, 0), dtype=z.dtype)
+    lp = lp + 0.5 * jnp.sum(wts * log1m(jnp.square(z)))
+    lp = lp + (jnp.sum(logsds) + np.log(2.0)) * k
+    return read_cov_matrix(z, sds), lp
+
+
+def cov_matrix_free_lkj(y, k: int | None = None):
+    """Invert cov_matrix_constrain_lkj (ref: ``cov_matrix_free_lkj.hpp``)."""
+    cpcs, logsds = factor_cov_matrix(y, k)
+    return jnp.concatenate([cpcs, logsds], axis=-1)
+
+
 # --- cholesky_factor: M x N lower trapezoid, positive diag (ref: same) ------
 
 

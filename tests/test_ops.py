@@ -174,5 +174,7 @@ def test_algebra_solver_fp():
     def f(x, theta):
         return jnp.cos(x) * theta
 
-    x = float(algebra_solver_fp(lambda x, t: jnp.cos(x) * t, jnp.asarray([0.5]), jnp.asarray([1.0]))[0])
+    x = float(
+        algebra_solver_fp(lambda x, t: jnp.cos(x) * t, jnp.asarray([0.5]), jnp.asarray([1.0]))[0]
+    )
     expect_near_rel(x, 0.7390851332151607, 1e-8)

@@ -113,6 +113,8 @@ def test_sharded_data_logdensity_glm():
     got = float(jax.jit(lp)(theta))
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
-    gw = np.asarray(jax.grad(lambda t: dists.bernoulli_logit_glm_lpmf(y, X, 0.0, t, propto=True))(theta))
+    gw = np.asarray(
+        jax.grad(lambda t: dists.bernoulli_logit_glm_lpmf(y, X, 0.0, t, propto=True))(theta)
+    )
     gg = np.asarray(jax.jit(jax.grad(lp))(theta))
     np.testing.assert_allclose(gg, gw, rtol=1e-9)

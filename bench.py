@@ -15,12 +15,21 @@ is cached across runs in production serving).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache (see benches/common.py): repeat driver runs skip
+# the slow remote-relay compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():

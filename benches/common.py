@@ -11,11 +11,19 @@ block_until_ready).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# Persistent compilation cache: big NUTS programs take minutes to compile
+# through the remote-compile relay (observed: 187 s for a single 2000-dim
+# cholesky VJP); caching makes repeat bench runs compile-free.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def timed(run, *args):

@@ -33,6 +33,12 @@ class KernelThresholds:
     glm_pallas_min_chains: int = 128
     glm_pallas_block_rows: int = 1024
     cholesky_pallas_min_dim: int = 1 << 62  # XLA's blocked cholesky wins so far
+    # scan-blocked cholesky (ops/cholesky.py): XLA's chol VJP *compiles*
+    # pathologically (187 s / worker crash via the remote relay at n=2000);
+    # the scan formulation compiles in seconds and runs at parity, so it
+    # takes over at sizes where compile blowup bites (v5e measurements).
+    cholesky_blocked_min_dim: int = 1024
+    cholesky_block_size: int = 256
 
 
 @dataclasses.dataclass

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from math_tpu import dists, transforms
 from math_tpu.model import make_log_density
 from math_tpu.ops import gp as gp_ops
+from math_tpu.ops.cholesky import cholesky_decompose_tpu
 from math_tpu.ops.linalg import mdivide_left_tri_low
 
 
@@ -37,7 +38,9 @@ def make(n: int, jitter=1e-8):
         lp += dists.normal_lpdf(sigma, 0.0, 1.0, propto=True)
         lp += dists.std_normal_lpdf(eta, propto=True)
         k = gp_ops.add_diag(gp_ops.gp_exp_quad_cov(x, alpha, rho), jitter)
-        L = jnp.linalg.cholesky(k)
+        # scan-blocked above the dispatch threshold: XLA's chol VJP compile
+        # blows up / crashes the TPU worker at n ~ 2000 (ops/cholesky.py)
+        L = cholesky_decompose_tpu(k)
         f = L @ eta
         lp += dists.normal_lpdf(y, f, sigma, propto=True)
         return lp

@@ -9,3 +9,7 @@ from math_tpu.ops.gp import (  # noqa: F401
     gp_matern52_cov,
     gp_periodic_cov,
 )
+from math_tpu.ops.cholesky import (  # noqa: F401
+    cholesky_blocked,
+    cholesky_decompose_tpu,
+)

@@ -141,3 +141,39 @@ def test_na_list_is_tight():
     inv = set(SCAL_FUN) | set(ARR_FUN) | set(MAT_FUN)
     stray = [n for n in stan.NOT_APPLICABLE if n not in inv]
     assert not stray, f"NOT_APPLICABLE entries not in the reference: {stray}"
+
+
+ERR_FUN = [
+    "check_2F1_converges", "check_3F2_converges", "check_bounded",
+    "check_cholesky_factor", "check_cholesky_factor_corr",
+    "check_column_index", "check_consistent_size",
+    "check_consistent_size_mvt", "check_consistent_sizes",
+    "check_consistent_sizes_mvt", "check_corr_matrix", "check_cov_matrix",
+    "check_finite", "check_flag_sundials", "check_greater",
+    "check_greater_or_equal", "check_ldlt_factor", "check_less",
+    "check_less_or_equal", "check_lower_triangular",
+    "check_matching_dims", "check_matching_sizes", "check_multiplicable",
+    "check_nonempty", "check_nonnegative", "check_nonzero_size",
+    "check_not_nan", "check_ordered", "check_pos_definite",
+    "check_pos_semidefinite", "check_positive", "check_positive_finite",
+    "check_positive_ordered", "check_range", "check_row_index",
+    "check_simplex", "check_size_match", "check_square",
+    "check_std_vector_index", "check_symmetric", "check_unit_vector",
+    "check_vector", "constraint_tolerance", "domain_error",
+    "domain_error_vec", "invalid_argument", "invalid_argument_vec",
+    "is_cholesky_factor", "is_cholesky_factor_corr", "is_column_index",
+    "is_corr_matrix", "is_ldlt_factor", "is_less_or_equal",
+    "is_lower_triangular", "is_mat_finite", "is_matching_dims",
+    "is_matching_size", "is_nonzero_size", "is_not_nan", "is_ordered",
+    "is_pos_definite", "is_positive", "is_scal_finite", "is_size_match",
+    "is_square", "is_symmetric", "is_unit_vector", "out_of_range",
+    "system_error", "validate_non_negative_index",
+]
+
+
+def test_err_surface():
+    """Every prim/*/err validator name resolves in math_tpu.utils.checks."""
+    from math_tpu.utils import checks
+
+    missing = [n for n in ERR_FUN if not hasattr(checks, n)]
+    assert not missing, f"prim err names unmapped: {missing}"

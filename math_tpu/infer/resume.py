@@ -80,6 +80,71 @@ def _warmup_chains(logdensity_fn, keys, z0s, num_warmup, max_depth, target_accep
     return jax.vmap(one)(keys, z0s)
 
 
+def _warmup_init(logdensity_fn, keys, z0s):
+    """Initial integrator + adaptation state for segmented warmup."""
+    logp_grad = jax.value_and_grad(logdensity_fn)
+
+    def one(key, z0):
+        dt = z0.dtype
+        dim = z0.shape[-1]
+        logp0, grad0 = logp_grad(z0)
+        state = IntegratorState(z0, jnp.zeros_like(z0), logp0, grad0)
+        inv_mass = jnp.ones((dim,), dt)
+        key, k_eps = jax.random.split(key)
+        eps0 = adapt.find_reasonable_step_size(k_eps, logp_grad, state, inv_mass)
+        return state, adapt.da_init(eps0, dt), adapt.welford_init(dim, dt), inv_mass, key
+
+    return jax.vmap(one)(keys, z0s)
+
+
+def _warmup_segment(
+    logdensity_fn, carry, in_slow_seg, window_end_seg, max_depth, target_accept
+):
+    """Run one slice of the Stan warmup schedule; same body as
+    ``_warmup_chains`` but resumable — the (state, da, wf, inv_mass, key)
+    carry crosses dispatch boundaries so each segment is a short device
+    program (the remote TPU worker kills very long dispatches)."""
+    logp_grad = jax.value_and_grad(logdensity_fn)
+
+    def one(state, da, wf, inv_mass, key):
+        dt = state.z.dtype
+        dim = state.z.shape[-1]
+
+        def step(c, xs):
+            state, da, wf, inv_mass, key = c
+            in_slow, win_end = xs
+            key, k = jax.random.split(key)
+            state, stats = nuts_kernel(
+                k, state, logp_grad, jnp.exp(da.log_eps), inv_mass, max_depth
+            )
+            da = adapt.da_update(da, stats.accept_prob, target=target_accept)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(in_slow, new, old),
+                adapt.welford_update(wf, state.z),
+                wf,
+            )
+
+            def finish(a):
+                da, wf, inv_mass = a
+                return (
+                    adapt.da_init(jnp.exp(da.log_eps), dt),
+                    adapt.welford_init(dim, dt),
+                    adapt.welford_variance_regularized(wf),
+                )
+
+            da, wf, inv_mass = jax.lax.cond(
+                win_end, finish, lambda a: a, (da, wf, inv_mass)
+            )
+            return (state, da, wf, inv_mass, key), None
+
+        (state, da, wf, inv_mass, key), _ = jax.lax.scan(
+            step, (state, da, wf, inv_mass, key), (in_slow_seg, window_end_seg)
+        )
+        return state, da, wf, inv_mass, key
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(*carry)
+
+
 def _sample_chunk(logdensity_fn, states, eps, inv_mass, keys, chunk, max_depth):
     logp_grad = jax.value_and_grad(logdensity_fn)
 
@@ -106,6 +171,7 @@ def sample_nuts_checkpointed(
     num_samples: int = 1000,
     num_chains: int = 4,
     chunk_size: int = 200,
+    warmup_chunk_size: Optional[int] = None,
     max_depth: int = 10,
     target_accept: float = 0.8,
     init_radius: float = 2.0,
@@ -150,7 +216,34 @@ def sample_nuts_checkpointed(
             dtype=dtype,
         )
         keys = jax.random.split(key, num_chains)
-        states, eps, inv_mass, keys = warm(keys, z0)
+        if warmup_chunk_size is None:
+            states, eps, inv_mass, keys = warm(keys, z0)
+        else:
+            # segmented warmup: each schedule slice is its own dispatch,
+            # bounding device-program runtime (expensive models on the
+            # remote TPU worker) while reproducing _warmup_chains exactly
+            in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+            init_fn = jax.jit(partial(_warmup_init, logdensity_fn))
+            seg_fn = jax.jit(
+                partial(
+                    _warmup_segment,
+                    logdensity_fn,
+                    max_depth=max_depth,
+                    target_accept=target_accept,
+                )
+            )
+            carry = init_fn(keys, z0)
+            for s in range(0, num_warmup, warmup_chunk_size):
+                e = min(s + warmup_chunk_size, num_warmup)
+                carry = seg_fn(
+                    carry,
+                    in_slow_seg=jnp.asarray(in_slow_np[s:e]),
+                    window_end_seg=jnp.asarray(window_end_np[s:e]),
+                )
+            states, da, _, inv_mass, keys = carry
+            eps = jnp.where(
+                num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
+            )
         draws, divs, done = [], [], 0
 
     store = None

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from math_tpu import dists, transforms
@@ -41,7 +42,8 @@ def make(n: int, jitter=1e-8):
         # scan-blocked above the dispatch threshold: XLA's chol VJP compile
         # blows up / crashes the TPU worker at n ~ 2000 (ops/cholesky.py)
         L = cholesky_decompose_tpu(k)
-        f = L @ eta
+        with jax.default_matmul_precision("float32"):
+            f = L @ eta
         lp += dists.normal_lpdf(y, f, sigma, propto=True)
         return lp
 

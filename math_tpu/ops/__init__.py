@@ -13,3 +13,7 @@ from math_tpu.ops.cholesky import (  # noqa: F401
     cholesky_blocked,
     cholesky_decompose_tpu,
 )
+from math_tpu.ops.chol_pallas import (  # noqa: F401
+    chol_inv_block,
+    cholesky_blocked_pallas,
+)

@@ -24,6 +24,7 @@ seconds, runs at XLA-cholesky speed, and reverse-differentiates through
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -91,18 +92,21 @@ def cholesky_blocked(a, block_size: int = 256):
 
     B = block_size
     L = jnp.zeros_like(a)
-    for j in range(nb):
-        s = j * B
-        prior = L[..., s : s + B, :s]
-        d = a[..., s : s + B, s : s + B] - prior @ jnp.swapaxes(prior, -1, -2)
-        Ljj = _chol_unblocked(d)
-        L = L.at[..., s : s + B, s : s + B].set(Ljj)
-        if j + 1 < nb:
-            rows = L[..., s + B :, :s]
-            off = a[..., s + B :, s : s + B] - rows @ jnp.swapaxes(prior, -1, -2)
-            # panel = off @ Ljj^{-T} — triangular solve as inverse+matmul (MXU)
-            panel = off @ jnp.swapaxes(_tri_inv_unblocked(Ljj), -1, -2)
-            L = L.at[..., s + B :, s : s + B].set(panel)
+    # full-f32 matmuls: bf16 trailing updates lose the PSD margin and feed
+    # negative diagonals into the unblocked factorization
+    with jax.default_matmul_precision("float32"):
+        for j in range(nb):
+            s = j * B
+            prior = L[..., s : s + B, :s]
+            d = a[..., s : s + B, s : s + B] - prior @ jnp.swapaxes(prior, -1, -2)
+            Ljj = _chol_unblocked(d)
+            L = L.at[..., s : s + B, s : s + B].set(Ljj)
+            if j + 1 < nb:
+                rows = L[..., s + B :, :s]
+                off = a[..., s + B :, s : s + B] - rows @ jnp.swapaxes(prior, -1, -2)
+                # panel = off @ Ljj^{-T}: triangular solve as inverse+matmul
+                panel = off @ jnp.swapaxes(_tri_inv_unblocked(Ljj), -1, -2)
+                L = L.at[..., s + B :, s : s + B].set(panel)
     if npad:
         L = L[..., :n, :n]
     return L
@@ -120,5 +124,11 @@ def cholesky_decompose_tpu(a, threshold: int | None = None, block_size: int | No
     block_size = th.cholesky_block_size if block_size is None else block_size
     n = jnp.shape(a)[-1]
     if n >= threshold:
+        if jax.default_backend() == "tpu":
+            # VMEM-resident diagonal-block kernel: ~30 ms fwd+VJP at n=2000
+            # vs ~100 ms for the scan formulation (and no interpret penalty)
+            from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
+
+            return cholesky_blocked_pallas(a, block_size=block_size)
         return cholesky_blocked(a, block_size=block_size)
     return jnp.linalg.cholesky(a)

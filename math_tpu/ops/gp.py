@@ -12,6 +12,7 @@ Inputs: x is (N, D) (or (N,) for 1-D inputs); returns (N, N) or (N, M).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -21,12 +22,17 @@ def _as2d(x):
 
 
 def sq_dists(x, y=None):
-    """Pairwise squared distances via the MXU-friendly expansion."""
+    """Pairwise squared distances via the MXU-friendly expansion.
+
+    Full-f32 matmul: TPU's default bf16 passes perturb d^2 by ~1e-2, which
+    destroys the PSD structure downstream factorizations rely on.
+    """
     x = _as2d(x)
     y = x if y is None else _as2d(y)
     xx = jnp.sum(jnp.square(x), axis=-1)
     yy = jnp.sum(jnp.square(y), axis=-1)
-    cross = x @ y.T
+    with jax.default_matmul_precision("float32"):
+        cross = x @ y.T
     return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * cross, 0.0)
 
 

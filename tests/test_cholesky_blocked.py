@@ -57,3 +57,52 @@ def test_non_multiple_block_size_padding():
     a = x @ x.T + n * np.eye(n)
     L = np.asarray(cholesky_blocked(jnp.asarray(a), block_size=64))
     np.testing.assert_allclose(L, np.linalg.cholesky(a), rtol=1e-9, atol=1e-10)
+
+
+# --- Pallas fused block kernel (interpret mode on CPU) ----------------------
+
+
+def test_pallas_block_kernel():
+    from math_tpu.ops.chol_pallas import chol_inv_block
+
+    rng = np.random.default_rng(5)
+    B = 32
+    x = rng.normal(size=(B, B))
+    d = x @ x.T + B * np.eye(B)
+    U, W = chol_inv_block(jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(U.T @ U), d, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(U @ W), np.eye(B), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_pallas_blocked_forward_and_vjp():
+    from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
+
+    rng = np.random.default_rng(6)
+    n = 96
+    x = rng.normal(size=(n, n))
+    a = x @ x.T + n * np.eye(n)
+    L = np.asarray(cholesky_blocked_pallas(jnp.asarray(a), block_size=32))
+    np.testing.assert_allclose(L, np.linalg.cholesky(a), rtol=1e-10, atol=1e-11)
+
+    B0 = jnp.asarray(rng.normal(size=(n, n)))
+
+    def loss(chol):
+        return lambda b: jnp.sum(jnp.sin(chol(b @ b.T + n * jnp.eye(n))))
+
+    g1 = jax.grad(loss(lambda m: cholesky_blocked_pallas(m, block_size=32)))(B0)
+    g2 = jax.grad(loss(jnp.linalg.cholesky))(B0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8, atol=1e-9)
+
+
+def test_pallas_blocked_vmap():
+    from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
+
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(3, 64, 64))
+    aa = xs @ np.swapaxes(xs, -1, -2) + 64 * np.eye(64)
+    Lb = np.asarray(
+        jax.vmap(lambda m: cholesky_blocked_pallas(m, block_size=32))(jnp.asarray(aa))
+    )
+    np.testing.assert_allclose(Lb, np.linalg.cholesky(aa), rtol=1e-9, atol=1e-10)

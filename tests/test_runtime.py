@@ -97,3 +97,23 @@ def test_checkpoint_resume_bit_compatible(tmp_path):
     assert pos_a.shape == (2, 120, model.dim)
     np.testing.assert_array_equal(pos_a, pos_b)
     assert info["resumed"]
+
+
+def test_segmented_warmup_bit_compatible(tmp_path):
+    """warmup_chunk_size splits warmup into multiple dispatches but must
+    reproduce the monolithic warmup draw stream exactly."""
+    from math_tpu.models import eight_schools
+
+    model = eight_schools.make()
+    key = jax.random.PRNGKey(3)
+    common = dict(
+        num_warmup=50, num_samples=30, num_chains=2, chunk_size=30, max_depth=6
+    )
+    pos_a, _, _ = sample_nuts_checkpointed(
+        model.logp, key, model.dim, checkpoint_path=str(tmp_path / "m"), **common
+    )
+    pos_b, _, _ = sample_nuts_checkpointed(
+        model.logp, key, model.dim, checkpoint_path=str(tmp_path / "s"),
+        warmup_chunk_size=20, **common
+    )
+    np.testing.assert_array_equal(pos_a, pos_b)

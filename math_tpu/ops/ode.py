@@ -98,12 +98,118 @@ def _integrate_segment(f, y0, t0, t1, theta, rtol, atol, h0, max_steps):
     return y, h
 
 
-def _forward(f, y0, t0, ts, theta, rtol, atol, max_steps):
+def _rk4_step(f, t, y, h, theta):
+    k1 = f(t, y, theta)
+    k2 = f(t + 0.5 * h, y + 0.5 * h * k1, theta)
+    k3 = f(t + 0.5 * h, y + 0.5 * h * k2, theta)
+    k4 = f(t + h, y + h * k3, theta)
+    return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def _integrate_segment_adams(f, y0, t0, t1, theta, rtol, atol, h0, max_steps):
+    """Adams-Bashforth-Moulton PECE(4) with restart-on-step-change.
+
+    ref: the CVODES CV_ADAMS path of ``cvodes_integrator.hpp``.  Classic
+    fixed-coefficient 4th-order predictor-corrector over a uniform local
+    grid; the Milne device (19/270)|corr - pred| drives step control.  A
+    step-size change invalidates the uniform history, so it triggers an
+    RK4 restart (3 fixed substeps) — the standard ODEPACK-lite scheme,
+    expressed as a 3-way ``lax.switch`` inside one while_loop so the
+    whole integration stays a single compiled program.
+    """
+    dt_ = y0.dtype
+    dim = y0.shape[-1]
+
+    def cond(carry):
+        t, y, h, hist, have, steps = carry
+        return (t < t1 - 1e-12 * jnp.abs(t1)) & (steps < max_steps)
+
+    def abm_branch(carry):
+        t, y, h, hist, have, steps = carry
+        f0, f1, f2, f3 = hist[0], hist[1], hist[2], hist[3]  # oldest..newest
+        pred = y + (h / 24.0) * (55.0 * f3 - 59.0 * f2 + 37.0 * f1 - 9.0 * f0)
+        fp = f(t + h, pred, theta)
+        corr = y + (h / 24.0) * (9.0 * fp + 19.0 * f3 - 5.0 * f2 + f1)
+        enorm = _error_norm((19.0 / 270.0) * (corr - pred), y, corr, rtol, atol)
+        enorm = jnp.where(jnp.isnan(enorm), jnp.inf, enorm)
+        accept = enorm <= 1.0
+        fc = f(t + h, corr, theta)  # PECE final evaluation
+        t_new = jnp.where(accept, t + h, t)
+        y_new = jnp.where(accept, corr, y)
+        hist_new = jnp.where(accept, jnp.stack([f1, f2, f3, fc]), hist)
+        # quantized step control: grow/shrink kills the uniform history
+        shrink = enorm > 1.0
+        grow = accept & (enorm < 0.02)
+        h_new = jnp.where(shrink, 0.5 * h, jnp.where(grow, 2.0 * h, h))
+        have_new = have & ~(shrink | grow)
+        return t_new, y_new, h_new, hist_new, have_new, steps + 1
+
+    def build_branch(carry):
+        # (re)build the uniform 4-point history with 3 fixed RK4 substeps;
+        # h was just validated by error control, so fixed steps are safe
+        t, y, h, hist, have, steps = carry
+        f0 = f(t, y, theta)
+        y1 = _rk4_step(f, t, y, h, theta)
+        f1 = f(t + h, y1, theta)
+        y2 = _rk4_step(f, t + h, y1, h, theta)
+        f2 = f(t + 2 * h, y2, theta)
+        y3 = _rk4_step(f, t + 2 * h, y2, h, theta)
+        f3 = f(t + 3 * h, y3, theta)
+        hist_new = jnp.stack([f0, f1, f2, f3])
+        return t + 3 * h, y3, h, hist_new, jnp.asarray(True), steps + 3
+
+    def finish_branch(carry):
+        # near t1 (or h overshoots): single adaptive DP5 step clamped to t1
+        t, y, h, hist, have, steps = carry
+        h_eff = jnp.minimum(h, t1 - t)
+        k0 = f(t, y, theta)
+        y_new, err, _ = _dopri_step(f, t, y, h_eff, theta, k0)
+        enorm = _error_norm(err, y, y_new, rtol, atol)
+        enorm = jnp.where(jnp.isnan(enorm), jnp.inf, enorm)
+        accept = enorm <= 1.0
+        factor = jnp.clip(
+            0.9 * jnp.power(jnp.maximum(enorm, 1e-10), -0.2), 0.2, 5.0
+        )
+        t_new = jnp.where(accept, t + h_eff, t)
+        y_new = jnp.where(accept, y_new, y)
+        return t_new, y_new, h_eff * factor, hist, jnp.asarray(False), steps + 1
+
+    def body(carry):
+        t, y, h, hist, have, steps = carry
+        room = t + 4.0 * h < t1
+        idx = jnp.where(room & have, 0, jnp.where(room, 1, 2))
+        return jax.lax.switch(
+            idx, [abm_branch, build_branch, finish_branch], carry
+        )
+
+    h_init = jnp.minimum(jnp.asarray(h0, dt_), jnp.maximum(t1 - t0, 1e-12))
+    hist0 = jnp.zeros((4, dim), dt_)
+    t, y, h, _, _, steps = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(t0, dt_),
+            y0,
+            h_init,
+            hist0,
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    y = jnp.where(steps >= max_steps, jnp.full_like(y, jnp.nan), y)
+    return y, h
+
+
+_SEGMENT_FNS = {"dopri": _integrate_segment, "adams": _integrate_segment_adams}
+
+
+def _forward(f, y0, t0, ts, theta, rtol, atol, max_steps, method="dopri"):
     """ys[i] = y(ts[i]); sequential over the (static-length) output grid."""
+    segment = _SEGMENT_FNS[method]
 
     def scan_body(carry, t_next):
         y, t, h = carry
-        y_new, h_new = _integrate_segment(
+        y_new, h_new = segment(
             f, y, t, t_next, theta, rtol, atol, h, max_steps
         )
         return (y_new, t_next, h_new), y_new
@@ -116,18 +222,19 @@ def _forward(f, y0, t0, ts, theta, rtol, atol, max_steps):
     return ys
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
-def odeint_adjoint(f, y0, t0, ts, theta, rtol=1e-6, atol=1e-8, max_steps=10_000):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7, 8))
+def odeint_adjoint(f, y0, t0, ts, theta, rtol=1e-6, atol=1e-8, max_steps=10_000,
+                   method="dopri"):
     """Solve y' = f(t, y, theta) at times ts with adjoint gradients."""
-    return _forward(f, y0, t0, ts, theta, rtol, atol, max_steps)
+    return _forward(f, y0, t0, ts, theta, rtol, atol, max_steps, method)
 
 
-def _odeint_fwd(f, y0, t0, ts, theta, rtol, atol, max_steps):
-    ys = _forward(f, y0, t0, ts, theta, rtol, atol, max_steps)
+def _odeint_fwd(f, y0, t0, ts, theta, rtol, atol, max_steps, method):
+    ys = _forward(f, y0, t0, ts, theta, rtol, atol, max_steps, method)
     return ys, (y0, t0, ts, theta, ys)
 
 
-def _odeint_bwd(f, rtol, atol, max_steps, res, g):
+def _odeint_bwd(f, rtol, atol, max_steps, method, res, g):
     y0, t0, ts, theta, ys = res
     dt_ = ys.dtype
     n = ys.shape[0]
@@ -158,12 +265,14 @@ def _odeint_bwd(f, rtol, atol, max_steps, res, g):
     def aug_f_rev(s, z, theta):
         return -aug_f(-s, z, theta)
 
+    segment = _SEGMENT_FNS[method]
+
     def scan_body(carry, xs):
         lam, mu, h = carry
         y_k, g_k, t_k, t_km1 = xs
         lam = lam + g_k
         z0 = pack(y_k, lam, mu)
-        z1, h_new = _integrate_segment(
+        z1, h_new = segment(
             aug_f_rev, z0, -t_k, -t_km1, theta, rtol, atol, h, max_steps
         )
         return (z1[dim : 2 * dim], z1[2 * dim :], h_new), None
@@ -200,9 +309,16 @@ def integrate_ode_rk45(
 
 def integrate_ode_adams(f, y0, t0, ts, theta, rtol=1e-8, atol=1e-10,
                         max_num_steps=100_000):
-    """Non-stiff CVODES-Adams equivalent; currently the same adaptive DP5
-    core at tighter tolerance (high-order multistep TODO)."""
-    return integrate_ode_rk45(f, y0, t0, ts, theta, rtol, atol, max_num_steps)
+    """Non-stiff CVODES-Adams equivalent (ref: cvodes_integrator.hpp
+    CV_ADAMS): Adams-Bashforth-Moulton PECE(4) multistep with Milne-device
+    step control; the continuous adjoint integrates backward with the
+    same method."""
+    y0 = jnp.asarray(y0)
+    theta = jnp.asarray(theta)
+    return odeint_adjoint(
+        f, y0, t0, jnp.asarray(ts), theta, rtol, atol, max_num_steps,
+        method="adams",
+    )
 
 
 def integrate_ode_bdf(f, y0, t0, ts, theta, rtol=1e-6, atol=1e-9,

@@ -107,3 +107,29 @@ def test_max_steps_nan():
         lotka_volterra, Y0, 0.0, TS, THETA, rtol=1e-12, atol=1e-14, max_num_steps=5
     )
     assert np.isnan(np.asarray(ys)).any()
+
+
+def test_integrate_ode_adams_multistep():
+    """ABM4 PECE vs closed form + adjoint-gradient parity with rk45."""
+    from math_tpu.ops.ode import integrate_ode_adams, integrate_ode_rk45
+
+    def f(t, y, theta):
+        a, b = theta
+        return jnp.stack([a * y[0] - b * y[1], b * y[0] + a * y[1]])
+
+    theta = jnp.asarray([-0.3, 2.0])
+    y0 = jnp.asarray([1.0, 0.0])
+    ts = jnp.linspace(0.4, 6.0, 7)
+    ys = np.asarray(integrate_ode_adams(f, y0, 0.0, ts, theta))
+    t = np.asarray(ts)
+    exact = np.exp(-0.3 * t)[:, None] * np.stack(
+        [np.cos(2 * t), np.sin(2 * t)], -1
+    )
+    np.testing.assert_allclose(ys, exact, rtol=0, atol=1e-6)
+
+    def loss(fn):
+        return lambda th: jnp.sum(jnp.square(fn(f, y0, 0.0, ts, th)))
+
+    ga = np.asarray(jax.grad(loss(integrate_ode_adams))(theta))
+    gr = np.asarray(jax.grad(loss(integrate_ode_rk45))(theta))
+    np.testing.assert_allclose(ga, gr, rtol=1e-4, atol=1e-5)

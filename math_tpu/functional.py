@@ -104,6 +104,24 @@ def finite_diff_hessian(f: Callable, x, h=1e-4):
     return 0.5 * (H + H.T)
 
 
+def finite_diff_grad_hessian(f: Callable, x, h=1e-3):
+    """Finite-difference gradient-of-Hessian, shape (n, n, n)
+    (ref: finite_diff_grad_hessian.hpp; the _auto variant's exact-Hessian
+    core here is ``hessian``, differenced over each coordinate)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    out = np.zeros((n, n, n))
+    for i in range(n):
+        e = np.zeros(n)
+        e[i] = h
+        hp = np.asarray(hessian(f, x + e)[2])
+        hm = np.asarray(hessian(f, x - e)[2])
+        out[i] = (hp - hm) / (2.0 * h)
+    return out
+
+
 def map_rect(
     f: Callable,
     shared_params,

@@ -17,7 +17,9 @@ from math_tpu.models import lotka_volterra
 def main():
     ts, yobs, theta_true, _ = lotka_volterra.synthetic_data(20)
     model = lotka_volterra.make(ts, solver="rk4")
-    num_chains, warm, samp = 16, 150, 150
+    # chains sweep (v5e): 16 -> 24, 64 -> 95, 128 -> 186, 256 -> 318 ESS/s
+    # (512 exceeded the remote worker's program limits)
+    num_chains, warm, samp = 256, 150, 150
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     z0 = jax.random.uniform(

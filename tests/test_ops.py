@@ -178,3 +178,23 @@ def test_algebra_solver_fp():
         algebra_solver_fp(lambda x, t: jnp.cos(x) * t, jnp.asarray([0.5]), jnp.asarray([1.0]))[0]
     )
     expect_near_rel(x, 0.7390851332151607, 1e-8)
+
+
+def test_algebra_solver_powell_dogleg():
+    """Trust-region dogleg converges from far starts where Newton blows up
+    (ref: algebra_solver_powell.hpp robustness rationale)."""
+    from math_tpu.ops.solve import algebra_solver_powell
+
+    def f(x, t):
+        return jnp.stack([jnp.exp(x[0]) - t[0], x[0] * x[1] + x[1] ** 3 - t[1]])
+
+    theta = jnp.asarray([2.0, 5.0])
+    x0 = jnp.asarray([-6.0, 9.0])
+    x = algebra_solver_powell(f, x0, theta)
+    assert float(jnp.linalg.norm(f(x, theta))) < 1e-10
+    np.testing.assert_allclose(float(x[0]), np.log(2.0), rtol=1e-10)
+
+    # IFT gradients match the newton solver's from a good start
+    g_p = jax.jacrev(lambda t: algebra_solver_powell(f, x0, t))(theta)
+    g_n = jax.jacrev(lambda t: algebra_solver_newton(f, x, t))(theta)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_n), rtol=1e-9)

@@ -20,7 +20,9 @@ def main():
     Xn, yn, beta_true, _ = glm_logistic.synthetic_data(100_000, 50)
     X, y = jnp.asarray(Xn), jnp.asarray(yn)
     model = glm_logistic.make(50)
-    num_chains, warm, samp = 64, 300, 300
+    # chains sweep (v5e, depth 6): 64 -> 90, 128 -> 220, 256 -> 345 ESS/s;
+    # the fused GLM kernel amortizes the 100k x 50 X read across the batch
+    num_chains, warm, samp = 256, 300, 300
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, num_chains)
@@ -31,7 +33,7 @@ def main():
     run = jax.jit(
         lambda k, z, X, y: run_pooled_chains(
             k, z, model.logp, args=(X, y),
-            num_warmup=warm, num_samples=samp, max_depth=8, target_accept=0.8,
+            num_warmup=warm, num_samples=samp, max_depth=6, target_accept=0.8,
         )
     )
     wall, res = timed(run, keys, z0, X, y)

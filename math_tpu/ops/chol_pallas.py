@@ -46,9 +46,10 @@ def _chol_inv_kernel(d_ref, u_ref, w_ref, m_ref):
     def factor_step(k, _):
         # row k of the (symmetric) residual == column k: sublane read only
         row = m_ref[pl.ds(k, 1), :]
-        pivot = jnp.sqrt(
-            jnp.maximum(jnp.sum(jnp.where(lane == k, row, 0.0)), 1e-30)
-        )
+        # non-PSD pivot → NaN so the factorization (and any logp built on
+        # it) signals failure instead of returning finite garbage
+        p2 = jnp.sum(jnp.where(lane == k, row, 0.0))
+        pivot = jnp.where(p2 > 0, jnp.sqrt(jnp.where(p2 > 0, p2, 1.0)), jnp.nan)
         urow = jnp.where(lane >= k, row / pivot, 0.0)
         u_ref[pl.ds(k, 1), :] = urow
         # trailing rank-1 update; urow is zero below k, so the outer product

@@ -39,7 +39,11 @@ def _chol_unblocked(a):
     idx = jnp.arange(n)
 
     def step(mat, k):
-        pivot = jnp.sqrt(jnp.maximum(mat[..., k, k], 1e-30))
+        # non-PSD input must yield NaN (NUTS rejects on nan/-inf logp), not
+        # finite garbage; the padded identity tail has pivot == 1 so the
+        # guard never triggers for valid inputs
+        p2 = mat[..., k, k]
+        pivot = jnp.where(p2 > 0, jnp.sqrt(jnp.where(p2 > 0, p2, 1.0)), jnp.nan)
         col = mat[..., :, k] / pivot
         col = jnp.where(idx >= k, col, 0.0)  # zero above the diagonal
         trailing = jnp.where(idx > k, col, 0.0)

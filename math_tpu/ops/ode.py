@@ -145,18 +145,29 @@ def _integrate_segment_adams(f, y0, t0, t1, theta, rtol, atol, h0, max_steps):
         return t_new, y_new, h_new, hist_new, have_new, steps + 1
 
     def build_branch(carry):
-        # (re)build the uniform 4-point history with 3 fixed RK4 substeps;
-        # h was just validated by error control, so fixed steps are safe
+        # (re)build the uniform 4-point history with 3 RK4 substeps.  After
+        # a Milne rejection h is NOT automatically safe (stiff transients),
+        # so the first substep is error-checked by step-doubling
+        # (Richardson, order 4 ⇒ err ≈ (y_2half − y_full)/15); on failure
+        # halve h again and retry the build next iteration.
         t, y, h, hist, have, steps = carry
+        y1_full = _rk4_step(f, t, y, h, theta)
+        y_half = _rk4_step(f, t, y, 0.5 * h, theta)
+        y1 = _rk4_step(f, t + 0.5 * h, y_half, 0.5 * h, theta)
+        enorm = _error_norm((y1 - y1_full) / 15.0, y, y1, rtol, atol)
+        enorm = jnp.where(jnp.isnan(enorm), jnp.inf, enorm)
+        ok = enorm <= 1.0
         f0 = f(t, y, theta)
-        y1 = _rk4_step(f, t, y, h, theta)
         f1 = f(t + h, y1, theta)
         y2 = _rk4_step(f, t + h, y1, h, theta)
         f2 = f(t + 2 * h, y2, theta)
         y3 = _rk4_step(f, t + 2 * h, y2, h, theta)
         f3 = f(t + 3 * h, y3, theta)
-        hist_new = jnp.stack([f0, f1, f2, f3])
-        return t + 3 * h, y3, h, hist_new, jnp.asarray(True), steps + 3
+        hist_new = jnp.where(ok, jnp.stack([f0, f1, f2, f3]), hist)
+        t_new = jnp.where(ok, t + 3 * h, t)
+        y_new = jnp.where(ok, y3, y)
+        h_new = jnp.where(ok, h, 0.5 * h)
+        return t_new, y_new, h_new, hist_new, ok, steps + 3
 
     def finish_branch(carry):
         # near t1 (or h overshoots): single adaptive DP5 step clamped to t1

@@ -470,7 +470,11 @@ def to_matrix(x, m=None, n=None):
     x = jnp.asarray(x)
     if m is None:
         return jnp.atleast_2d(x)
-    return x.reshape(n, m).T  # column-major fill, matching Stan
+    # Stan reads the SOURCE column-major too (Eigen::Map over the matrix's
+    # storage), so matrix inputs must be flattened column-by-column before
+    # the column-major (n, m).T refill — a C-order reshape of a matrix
+    # input would walk it row-major and permute the entries
+    return to_vector(x).reshape(n, m).T
 
 
 def to_array_1d(x):

@@ -96,6 +96,25 @@ def test_pallas_blocked_forward_and_vjp():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.parametrize("impl", ["scan", "pallas"])
+def test_non_psd_propagates_nan(impl):
+    # NUTS relies on nan/-inf logp to reject non-PSD proposals; the blocked
+    # factorizations must signal failure, not return finite garbage
+    from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
+
+    fn = cholesky_blocked if impl == "scan" else cholesky_blocked_pallas
+    n = 48
+    a = np.eye(n)
+    a[5, 5] = -1e15  # violently non-PSD
+    L = np.asarray(fn(jnp.asarray(a), block_size=16))
+    assert np.isnan(L).any(), "non-PSD input must produce NaN"
+    # and a PSD matrix through the same path stays NaN-free
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, n))
+    good = np.asarray(fn(jnp.asarray(x @ x.T + n * np.eye(n)), block_size=16))
+    assert np.isfinite(good).all()
+
+
 def test_pallas_blocked_vmap():
     from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
 

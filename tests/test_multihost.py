@@ -47,7 +47,14 @@ print("WORKER_OK", pid)
 @pytest.mark.slow
 def test_two_process_sharded_nuts(tmp_path):
     out = str(tmp_path / "pos_")
-    code = WORKER.format(root=ROOT, port=29591, out=out)
+    # grab an ephemeral port so concurrent runs don't collide on the
+    # coordinator bind (a fixed port flakes under pytest-xdist)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = WORKER.format(root=ROOT, port=port, out=out)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [

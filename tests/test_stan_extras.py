@@ -168,6 +168,12 @@ def test_stan_surface_smoke():
     np.testing.assert_allclose(
         np.asarray(stan.to_matrix(stan.to_vector(x), 2, 2)), x
     )
+    # matrix input: Stan reads the source column-major (Eigen::Map), so
+    # to_matrix(3x2 -> 2x3) must walk columns of the source
+    y = np.array([[1.0, 4.0], [2.0, 5.0], [3.0, 6.0]])
+    np.testing.assert_allclose(
+        np.asarray(stan.to_matrix(y, 2, 3)), [[1.0, 3.0, 5.0], [2.0, 4.0, 6.0]]
+    )
     np.testing.assert_allclose(np.asarray(stan.block(x, 1, 2, 2, 1)), [[2.0], [4.0]])
     np.testing.assert_allclose(np.asarray(stan.diag_pre_multiply([2.0, 3.0], x)), [[2, 4], [9, 12]])
     np.testing.assert_allclose(

@@ -92,12 +92,24 @@ def ordered_logistic_glm_lpmf(y, x, beta, cuts, *, propto=False):
 
 
 def categorical_logit_glm_lpmf(y, x, alpha, beta, *, propto=False):
-    """Ref: categorical_logit_glm_lpmf.hpp (beta is D x K, alpha K)."""
+    """Ref: categorical_logit_glm_lpmf.hpp (beta is D x K, alpha K).
+
+    Every summand depends on (x, alpha, beta), so propto=True with
+    all-constant operands prunes the whole density (the reference's
+    ``include_summand<propto, T_x, T_alpha, T_beta>`` gate); invalid y
+    follows the -inf / nan-free-gradient convention of the other families.
+    """
     dt = fdtype(x, alpha, beta)
     eta = jnp.asarray(x, dt) @ jnp.asarray(beta, dt) + jnp.asarray(alpha, dt)
     yi = jnp.asarray(y, jnp.int32) - 1
-    logsm = jax.nn.log_softmax(eta, axis=-1)
-    lp = jnp.take_along_axis(logsm, yi[..., None], axis=-1)[..., 0]
     k = eta.shape[-1]
     ok = (yi >= 0) & (yi < k)
-    return jnp.sum(jnp.where(ok, lp, -jnp.inf))
+    lp = jnp.zeros((), dt)
+    if include_summand(propto, x, alpha, beta):
+        logsm = jax.nn.log_softmax(eta, axis=-1)
+        picked = jnp.take_along_axis(
+            logsm, jnp.clip(yi, 0, k - 1)[..., None], axis=-1
+        )[..., 0]
+        lp = lp + jnp.sum(jnp.where(ok, picked, 0.0))
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+    return jnp.where(jnp.all(ok), lp, neg_inf)

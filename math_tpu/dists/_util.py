@@ -26,6 +26,8 @@ __all__ = [
     "safe",
     "ok_pos",
     "ok_prob",
+    "ok_simplex",
+    "ok_ordered",
 ]
 
 
@@ -67,3 +69,25 @@ def ok_pos(x):
 
 def ok_prob(x):
     return jnp.isfinite(x) & (x >= 0) & (x <= 1)
+
+
+def ok_simplex(x, axis=-1):
+    """Valid simplex along ``axis`` (ref: ``check_simplex.hpp``).
+
+    Tolerance scales with dtype epsilon and length so float32 simplexes
+    produced by softmax-style transforms pass (the reference's fixed
+    CONSTRAINT_TOLERANCE=1e-8 assumes double).
+    """
+    x = jnp.asarray(x)
+    k = x.shape[axis]
+    tol = jnp.maximum(1e-8, 16.0 * k * jnp.finfo(x.dtype).eps)
+    fin = jnp.all(jnp.isfinite(x) & (x >= 0) & (x <= 1), axis=axis)
+    return fin & (jnp.abs(jnp.sum(x, axis=axis) - 1.0) <= tol)
+
+
+def ok_ordered(x, axis=-1):
+    """Finite and strictly increasing along ``axis`` (ref: ``check_ordered.hpp``)."""
+    x = jnp.asarray(x)
+    fin = jnp.all(jnp.isfinite(x), axis=axis)
+    inc = jnp.all(jnp.diff(x, axis=axis) > 0, axis=axis)
+    return fin & inc

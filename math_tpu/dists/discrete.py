@@ -15,7 +15,16 @@ import jax.scipy.special as jsp
 
 from math_tpu.special import lbeta, lchoose, log1m, log1m_exp
 from math_tpu.utils.propto import include_summand
-from math_tpu.dists._util import bcast, fdtype, finish, finish_prod, ok_pos, safe
+from math_tpu.dists._util import (
+    bcast,
+    fdtype,
+    finish,
+    finish_prod,
+    ok_ordered,
+    ok_pos,
+    ok_simplex,
+    safe,
+)
 
 
 def _rng_shape(shape, *params):
@@ -456,7 +465,7 @@ def categorical_lpmf(y, theta, *, propto=False):
     theta = jnp.asarray(theta, dtype=fdtype(theta))
     yi = jnp.asarray(y, dtype=jnp.int32) - 1
     k = theta.shape[-1]
-    ok = (yi >= 0) & (yi < k)
+    ok = (yi >= 0) & (yi < k) & jnp.all(ok_simplex(theta))
     lp = jnp.log(jnp.take_along_axis(
         jnp.broadcast_to(theta, jnp.shape(yi) + (k,)),
         jnp.clip(yi, 0, k - 1)[..., None],
@@ -508,7 +517,7 @@ def ordered_logistic_lpmf(y, eta, c, *, propto=False):
     yi = jnp.asarray(y, dtype=jnp.int32) - 1
     km1 = c.shape[-1]
     k = km1 + 1
-    ok = (yi >= 0) & (yi < k)
+    ok = (yi >= 0) & (yi < k) & jnp.all(ok_ordered(c))
     yc = jnp.clip(yi, 0, k - 1)
     big = jnp.asarray(1e30, dtype=eta.dtype)
     cpad = jnp.concatenate(
@@ -551,7 +560,7 @@ def ordered_probit_lpmf(y, eta, c, *, propto=False):
     yi = jnp.asarray(y, dtype=jnp.int32) - 1
     km1 = c.shape[-1]
     k = km1 + 1
-    ok = (yi >= 0) & (yi < k)
+    ok = (yi >= 0) & (yi < k) & jnp.all(ok_ordered(c))
     yc = jnp.clip(yi, 0, k - 1)
     big = jnp.asarray(1e30, dtype=eta.dtype)
     cpad = jnp.concatenate(

@@ -41,11 +41,12 @@ def bernoulli_logit_glm_lpmf(y, x, alpha, beta, *, propto=False):
     """
     eta = _eta(x, alpha, beta)
     y = jnp.asarray(y, eta.dtype)
+    ok = jnp.all((y == 0.0) | (y == 1.0))  # ref: check_bounded(y, 0, 1)
     sign = 2.0 * y - 1.0
     lp = jnp.zeros((), eta.dtype)
     if include_summand(propto, x, alpha, beta):
         lp = lp - jnp.sum(jax.nn.softplus(-sign * eta))
-    return lp
+    return jnp.where(ok, lp, -jnp.inf)
 
 
 def poisson_log_glm_lpmf(y, x, alpha, beta, *, propto=False):

@@ -21,7 +21,7 @@ import jax.scipy.special as jsp
 
 from math_tpu.special import LOG_TWO, LOG_PI, LOG_TWO_PI
 from math_tpu.utils.propto import include_summand
-from math_tpu.dists._util import fdtype
+from math_tpu.dists._util import fdtype, ok_pos, ok_simplex
 
 
 def _chol_logdet(L):
@@ -173,7 +173,7 @@ def dirichlet_lpdf(theta, alpha, *, propto=False):
         )
     if include_summand(propto, theta, alpha):
         lp = lp + jnp.sum(jsp.xlogy(al - 1.0, th))
-    ok = jnp.all(th >= 0) & jnp.all(al > 0)
+    ok = jnp.all(ok_simplex(th)) & jnp.all(al > 0)
     return jnp.where(ok, lp, -jnp.inf)
 
 
@@ -194,7 +194,7 @@ def multinomial_lpmf(y, theta, *, propto=False):
         lp = lp + jnp.sum(jsp.gammaln(n + 1.0)) - jnp.sum(jsp.gammaln(yb + 1.0))
     if include_summand(propto, theta):
         lp = lp + jnp.sum(jsp.xlogy(yb, tb))
-    ok = jnp.all(yb >= 0)
+    ok = jnp.all(yb >= 0) & jnp.all(ok_simplex(theta))
     return jnp.where(ok, lp, -jnp.inf)
 
 
@@ -252,18 +252,36 @@ def lkj_corr_cholesky_lpdf(L, eta, *, propto=False):
 
 
 def lkj_corr_lpdf(y, eta, *, propto=False):
-    """lp = const + (eta - 1) log|y| (ref: lkj_corr_lpdf.hpp)."""
+    """lp = const + (eta - 1) log|y| (ref: lkj_corr_lpdf.hpp).
+
+    Value-level corr-matrix validation (the reference's
+    ``check_corr_matrix``: unit diagonal, symmetry, positive-definite) maps
+    to the -inf convention; PD is detected via Cholesky nan rows (no grad
+    flows through the mask).
+    """
     dt = fdtype(y, eta)
     y = jnp.asarray(y, dt)
     eta = jnp.asarray(eta, dt)
     k = y.shape[-1]
+    tol = jnp.maximum(1e-8, 16.0 * k * jnp.finfo(dt).eps)
+    diag = jnp.diagonal(y, axis1=-2, axis2=-1)
+    ok = (
+        jnp.all(jnp.isfinite(y))
+        & jnp.all(jnp.abs(diag - 1.0) <= tol)
+        & jnp.all(jnp.abs(y - jnp.swapaxes(y, -1, -2)) <= tol)
+        & jnp.all(ok_pos(eta))
+    )
+    ldiag = jnp.diagonal(
+        jnp.linalg.cholesky(jax.lax.stop_gradient(y)), axis1=-2, axis2=-1
+    )
+    ok = ok & jnp.all(jnp.isfinite(ldiag) & (ldiag > 0))
     lp = jnp.zeros((), dtype=dt)
     if include_summand(propto, eta):
         lp = lp + do_lkj_constant(eta, k)
     if include_summand(propto, y, eta):
         sign, logdet = jnp.linalg.slogdet(y)
         lp = lp + jnp.sum((eta - 1.0) * logdet)
-    return lp
+    return jnp.where(ok, lp, -jnp.inf)
 
 
 def lkj_corr_cholesky_rng(key, k, eta, shape=()):

@@ -199,6 +199,23 @@ def sample_nuts_checkpointed(
 
     if checkpoint_exists(checkpoint_path):
         ck = load_checkpoint(checkpoint_path)
+        required = (
+            "z", "r", "logp", "grad", "eps", "inv_mass", "keys",
+            "draws", "divs", "done",
+        )
+        missing = [k for k in required if k not in ck]
+        if missing:
+            raise ValueError(
+                f"checkpoint at {checkpoint_path} is incomplete (missing "
+                f"{missing}); delete it to restart from scratch"
+            )
+        if np.asarray(ck["draws"]).shape[1] != int(ck["done"]):
+            raise ValueError(
+                f"checkpoint at {checkpoint_path} is corrupt: 'done'="
+                f"{int(ck['done'])} but draws hold "
+                f"{np.asarray(ck['draws']).shape[1]} samples; delete it to "
+                "restart from scratch"
+            )
         states = IntegratorState(
             jnp.asarray(ck["z"]), jnp.asarray(ck["r"]),
             jnp.asarray(ck["logp"]), jnp.asarray(ck["grad"]),
@@ -216,6 +233,9 @@ def sample_nuts_checkpointed(
             dtype=dtype,
         )
         keys = jax.random.split(key, num_chains)
+        from math_tpu.infer.sample import check_init_logdensity
+
+        check_init_logdensity(logdensity_fn, z0)
         if warmup_chunk_size is None:
             states, eps, inv_mass, keys = warm(keys, z0)
         else:

@@ -20,6 +20,29 @@ from math_tpu.infer import adapt
 from math_tpu.infer.nuts import IntegratorState, NutsStats, nuts_kernel
 
 
+def check_init_logdensity(logdensity_fn, init, args=()):
+    """Host-side guard: raise if any chain starts at non-finite logp/grad.
+
+    Stan's services retry/throw on a non-finite initial log density
+    (util::initialize); here the stakes are higher — dispatching a NUTS
+    program whose very first logp is nan/-inf can crash the remote TPU
+    worker outright (see CLAUDE.md), so the cheap host-side check runs
+    BEFORE the big program is launched.
+    """
+    lg = jax.jit(jax.vmap(jax.value_and_grad(lambda z: logdensity_fn(z, *args))))
+    lp, grad = lg(jnp.asarray(init))
+    lp = np.asarray(lp)
+    gbad = ~np.all(np.isfinite(np.asarray(grad)), axis=-1)
+    bad = ~np.isfinite(lp) | gbad
+    if bad.any():
+        idx = np.nonzero(bad)[0].tolist()
+        raise ValueError(
+            f"non-finite initial log density or gradient for chains {idx} "
+            f"(logp={lp[bad]}); fix the init (init=/init_radius=) or the "
+            "model's support before sampling"
+        )
+
+
 class ChainResult(NamedTuple):
     position: jnp.ndarray  # (chains, num_samples, dim)
     stats: NutsStats  # leaves shaped (chains, num_samples)
@@ -162,6 +185,7 @@ def sample_nuts(
         )
     init = jnp.asarray(init, dtype)
     num_chains = init.shape[0]
+    check_init_logdensity(logdensity_fn, init, args)
     keys = jax.random.split(key, num_chains)
 
     def runner(keys, init, args):

@@ -15,10 +15,13 @@ tempering).  Design:
 
 Distributed: weights/moments pool over an optional ``axis_name`` via
 ``psum``; resampling indices are computed against the *global* weight
-vector gathered with ``all_gather`` — the collective-resampling design
-from SURVEY.md §5.8 (ppermute particle exchange is a follow-up
-optimization; all_gather of weights is tiny, particles transfer only on
-cross-shard ancestry).
+vector gathered with ``all_gather`` (tiny: one scalar per particle).
+Particles themselves are NEVER all-gathered: ancestors are fetched with
+``ppermute`` block rotations, and a rotation is only executed when some
+shard actually has an ancestor at that shard offset (systematic-resample
+indices are sorted, so each shard's ancestors span a narrow contiguous
+shard range — near-equal weights need offsets {-1, 0, +1} only).  This is
+the SURVEY.md §5.8 collective-resampling design.
 """
 
 from __future__ import annotations
@@ -47,6 +50,42 @@ def systematic_resample(key, log_weights):
     u0 = jax.random.uniform(key, (), dtype=w.dtype)
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
     return jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+
+
+def ancestor_exchange(z, idx, axis_name):
+    """Fetch global ancestor particles into local slots without all_gather.
+
+    ``z`` is this shard's ``(n, dim)`` particle block; ``idx`` the global
+    ancestor ids (in ``[0, n*num_shards)``) this shard must receive.  For
+    each shard offset ``d`` the local block is rotated by ``d`` with
+    ``ppermute`` — but only when some shard on the mesh needs an ancestor at
+    that offset (``pmax`` of local demand; the predicate is replicated, so
+    every shard takes the same branch and the collective stays legal).
+
+    Transfer bound: bytes moved = (#distinct needed offsets) x block size,
+    vs. ``all_gather``'s (num_shards - 1) x block size; systematic-resample
+    ids are sorted, so the needed offsets are a contiguous band around 0.
+    """
+    n = z.shape[0]
+    num_shards = jax.lax.psum(1, axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    src_shard = (idx // n).astype(jnp.int32)
+    src_pos = (idx % n).astype(jnp.int32)
+
+    # offset 0: ancestors already resident — no communication
+    out = jnp.where((src_shard == shard)[:, None], z[src_pos], jnp.zeros_like(z))
+    for d in range(1, num_shards):
+        # rotating by d delivers shard (p + d) % D's block to shard p
+        perm = [((p + d) % num_shards, p) for p in range(num_shards)]
+        sel = src_shard == (shard + d) % num_shards
+        need = jax.lax.pmax(jnp.any(sel).astype(jnp.int32), axis_name)
+
+        def fetch(out, sel=sel, perm=perm):
+            zr = jax.lax.ppermute(z, axis_name, perm)
+            return jnp.where(sel[:, None], zr[src_pos], out)
+
+        out = jax.lax.cond(need > 0, fetch, lambda o: o, out)
+    return out
 
 
 def _rel_ess(log_w):
@@ -146,13 +185,14 @@ def smc_tempered(
 
         key, k_res = jax.random.split(key)
         idx = systematic_resample(k_res, log_w_g)
-        z_g = gather(z)
-        if axis_name is not None:
+        if axis_name is None:
+            z = z[idx]
+        else:
             shard = jax.lax.axis_index(axis_name)
-            idx = jax.lax.dynamic_slice_in_dim(
+            idx_local = jax.lax.dynamic_slice_in_dim(
                 idx, shard * num_particles, num_particles
             )
-        z = z_g[idx]
+            z = ancestor_exchange(z, idx_local, axis_name)
 
         # mutation: NUTS at the new tempered target
         lg = jax.value_and_grad(lambda zz: tempered(zz, t_new))

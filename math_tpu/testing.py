@@ -109,15 +109,25 @@ def expect_ad(f, *args, tol=1e-5, hessian=False, hess_tol=1e-4):
     expect_near_rel(np.asarray(vb), np.asarray([v_plain, v_plain]), 1e-12, "vmap value")
 
     if hessian:
-        h_ad = jax.hessian(g)(x0j)
-        h_fd = np.stack(
-            [
-                finite_diff_gradient(
-                    lambda x, i=i: jax.grad(g)(jnp.asarray(x))[i], x0
-                )
-                for i in range(x0.size)
-            ]
-        )
+        # fwd-over-rev, the reference's fvar<var> instantiation
+        # (test_ad.hpp:113-130 compares Hessians against finite differences)
+        h_ad = np.asarray(jax.jacfwd(jax.grad(g))(x0j))
+        # rev-over-rev must agree (the fvar<fvar<var>> analog is covered by
+        # the two independent composition orders agreeing)
+        h_rr = np.asarray(jax.jacrev(jax.grad(g))(x0j))
+        expect_near_rel(h_ad, h_rr, 1e-8, "fwd-over-rev vs rev-over-rev")
+        jg = jax.jit(jax.grad(g))
+        cols = []
+        for i in range(x0.size):
+            hi = 1e-6 * max(1.0, abs(x0.flat[i]))
+            xp, xm = x0.copy(), x0.copy()
+            xp.flat[i] += hi
+            xm.flat[i] -= hi
+            cols.append(
+                (np.asarray(jg(jnp.asarray(xp))) - np.asarray(jg(jnp.asarray(xm))))
+                / (2 * hi)
+            )
+        h_fd = np.stack(cols, axis=-1)
         expect_near_rel(h_ad, h_fd, hess_tol, "hessian vs finite diff")
 
 

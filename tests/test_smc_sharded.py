@@ -1,4 +1,4 @@
-"""Device-sharded SMC: global resampling via all_gather on the virtual mesh."""
+"""Device-sharded SMC: gathered weights + ppermute ancestor exchange."""
 
 import numpy as np
 
@@ -6,7 +6,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from math_tpu.infer.smc import SMCResult, smc_tempered
+from math_tpu.infer.smc import (
+    SMCResult,
+    ancestor_exchange,
+    smc_tempered,
+    systematic_resample,
+)
 from math_tpu.parallel import chain_mesh
 
 
@@ -51,3 +56,51 @@ def test_sharded_smc_matches_target():
     assert np.std(p[:256].mean(0) - p[256:512].mean(0)) > 0 or True
     first_shard, last_shard = p[:256], p[-256:]
     assert not np.allclose(first_shard, last_shard)
+
+
+def test_ancestor_exchange_matches_global_gather():
+    """ppermute exchange must reproduce z_global[idx] for skewed weights."""
+    n_dev = len(jax.devices())
+    n_local, dim = 32, 3
+    n_glob = n_dev * n_local
+    rng = np.random.default_rng(0)
+    z_glob = rng.normal(size=(n_glob, dim))
+    # heavily skewed weights -> ancestry crosses several shards
+    log_w = rng.normal(size=n_glob) * 4.0
+    idx = np.asarray(systematic_resample(jax.random.PRNGKey(3), jnp.asarray(log_w)))
+    want = z_glob[idx]
+
+    mesh = chain_mesh(axis="particle")
+
+    def local(z, idx_local):
+        return ancestor_exchange(z, idx_local, "particle")
+
+    run = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P("particle"), P("particle")),
+            out_specs=P("particle"),
+        )
+    )
+    got = np.asarray(run(jnp.asarray(z_glob), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ancestor_exchange_transfers_blocks_not_allgather():
+    """The exchange must lower to collective-permute, never a particle
+    all-gather (the transfer-bytes guarantee of SURVEY.md §5.8)."""
+    mesh = chain_mesh(axis="particle")
+    run = jax.jit(
+        jax.shard_map(
+            lambda z, i: ancestor_exchange(z, i, "particle"),
+            mesh=mesh,
+            in_specs=(P("particle"), P("particle")),
+            out_specs=P("particle"),
+        )
+    )
+    n_glob = len(jax.devices()) * 16
+    txt = run.lower(
+        jax.ShapeDtypeStruct((n_glob, 2), jnp.float64),
+        jax.ShapeDtypeStruct((n_glob,), jnp.int32),
+    ).compile().as_text()
+    assert "collective-permute" in txt
+    assert "all-gather" not in txt

@@ -279,7 +279,12 @@ def lkj_corr_lpdf(y, eta, *, propto=False):
     if include_summand(propto, eta):
         lp = lp + do_lkj_constant(eta, k)
     if include_summand(propto, y, eta):
-        sign, logdet = jnp.linalg.slogdet(y)
+        # double-where: slogdet of a singular y has NaN cotangents even when
+        # the output is masked to -inf; feed it the identity when invalid.
+        y_safe = jnp.where(
+            ok, y, jnp.broadcast_to(jnp.eye(k, dtype=dt), y.shape)
+        )
+        sign, logdet = jnp.linalg.slogdet(y_safe)
         lp = lp + jnp.sum((eta - 1.0) * logdet)
     return jnp.where(ok, lp, -jnp.inf)
 

@@ -228,13 +228,16 @@ def sample_nuts_checkpointed(
         done = int(ck["done"])
     else:
         key, k_init = jax.random.split(key)
-        z0 = jax.random.uniform(
-            k_init, (num_chains, dim), minval=-init_radius, maxval=init_radius,
-            dtype=dtype,
+        from math_tpu.infer.sample import (
+            check_init_logdensity,
+            draw_init_positions,
+        )
+
+        z0 = draw_init_positions(
+            logdensity_fn, k_init, num_chains, dim,
+            init_radius=init_radius, dtype=dtype,
         )
         keys = jax.random.split(key, num_chains)
-        from math_tpu.infer.sample import check_init_logdensity
-
         check_init_logdensity(logdensity_fn, z0)
         if warmup_chunk_size is None:
             states, eps, inv_mass, keys = warm(keys, z0)

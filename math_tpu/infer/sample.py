@@ -20,6 +20,38 @@ from math_tpu.infer import adapt
 from math_tpu.infer.nuts import IntegratorState, NutsStats, nuts_kernel
 
 
+def _init_bad_mask(logdensity_fn, init, args=()):
+    """Per-chain bool mask: chain starts at non-finite logp or gradient.
+
+    Data flows in as jit *operands* (never closure constants — constants
+    bake into the program and blow up compile time) and the probe runs on
+    the host CPU backend when one is available, so the guard itself never
+    dispatches to the fragile TPU worker.
+    """
+
+    def probe(z, a):
+        return jax.vmap(
+            jax.value_and_grad(lambda zz: logdensity_fn(zz, *a))
+        )(z)
+
+    init = jnp.asarray(init)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None  # platform pinned (e.g. JAX_PLATFORMS=axon); probe on it
+    if cpu is not None:
+        with jax.default_device(cpu):
+            args_h = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), cpu), tuple(args)
+            )
+            lp, grad = jax.jit(probe)(jax.device_put(init, cpu), args_h)
+    else:
+        lp, grad = jax.jit(probe)(init, tuple(args))
+    lp = np.asarray(lp)
+    gbad = ~np.all(np.isfinite(np.asarray(grad)), axis=-1)
+    return (~np.isfinite(lp) | gbad), lp
+
+
 def check_init_logdensity(logdensity_fn, init, args=()):
     """Host-side guard: raise if any chain starts at non-finite logp/grad.
 
@@ -29,11 +61,7 @@ def check_init_logdensity(logdensity_fn, init, args=()):
     worker outright (see CLAUDE.md), so the cheap host-side check runs
     BEFORE the big program is launched.
     """
-    lg = jax.jit(jax.vmap(jax.value_and_grad(lambda z: logdensity_fn(z, *args))))
-    lp, grad = lg(jnp.asarray(init))
-    lp = np.asarray(lp)
-    gbad = ~np.all(np.isfinite(np.asarray(grad)), axis=-1)
-    bad = ~np.isfinite(lp) | gbad
+    bad, lp = _init_bad_mask(logdensity_fn, init, args)
     if bad.any():
         idx = np.nonzero(bad)[0].tolist()
         raise ValueError(
@@ -41,6 +69,35 @@ def check_init_logdensity(logdensity_fn, init, args=()):
             f"(logp={lp[bad]}); fix the init (init=/init_radius=) or the "
             "model's support before sampling"
         )
+
+
+def draw_init_positions(
+    logdensity_fn, key, num_chains, dim, *, args=(), init_radius=2.0,
+    dtype=jnp.float64, max_retries=100,
+):
+    """Uniform(-r, r) inits, re-drawing non-finite chains like Stan does.
+
+    Stan's util::initialize re-draws a failing random init up to 100 times
+    before giving up (services layer); user-SUPPLIED inits never retry —
+    those go straight to ``check_init_logdensity``.
+    """
+    init = jax.random.uniform(
+        key, (num_chains, dim), minval=-init_radius, maxval=init_radius,
+        dtype=dtype,
+    )
+    bad, _ = _init_bad_mask(logdensity_fn, init, args)
+    init_np = np.asarray(init)
+    tries = 0
+    while bad.any() and tries < max_retries:
+        tries += 1
+        k = jax.random.fold_in(key, tries)
+        redraw = jax.random.uniform(
+            k, (num_chains, dim), minval=-init_radius, maxval=init_radius,
+            dtype=dtype,
+        )
+        init_np = np.where(bad[:, None], np.asarray(redraw), init_np)
+        bad, _ = _init_bad_mask(logdensity_fn, init_np, args)
+    return jnp.asarray(init_np, dtype)
 
 
 class ChainResult(NamedTuple):
@@ -179,9 +236,9 @@ def sample_nuts(
         if dim is None:
             raise ValueError("pass dim= or init=")
         key, k_init = jax.random.split(key)
-        init = jax.random.uniform(
-            k_init, (num_chains, dim), minval=-init_radius, maxval=init_radius,
-            dtype=dtype,
+        init = draw_init_positions(
+            logdensity_fn, k_init, num_chains, dim, args=args,
+            init_radius=init_radius, dtype=dtype,
         )
     init = jnp.asarray(init, dtype)
     num_chains = init.shape[0]

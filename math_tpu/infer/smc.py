@@ -49,7 +49,11 @@ def systematic_resample(key, log_weights):
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key, (), dtype=w.dtype)
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
-    return jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+    idx = jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+    # float cumsum can top out below 1.0, letting searchsorted return n for
+    # the last stratified points; clamp so every id is a valid particle (the
+    # unclamped id would silently map to no ppermute offset downstream).
+    return jnp.minimum(idx, n - 1)
 
 
 def ancestor_exchange(z, idx, axis_name):
@@ -72,8 +76,11 @@ def ancestor_exchange(z, idx, axis_name):
     src_shard = (idx // n).astype(jnp.int32)
     src_pos = (idx % n).astype(jnp.int32)
 
-    # offset 0: ancestors already resident — no communication
-    out = jnp.where((src_shard == shard)[:, None], z[src_pos], jnp.zeros_like(z))
+    # offset 0: ancestors already resident — no communication.  Slots whose
+    # ancestor lives elsewhere also start from z[src_pos] (a valid local
+    # particle) rather than zeros, so an id that matches no rotation offset
+    # degrades to a real particle instead of an injected all-zeros one.
+    out = z[src_pos]
     for d in range(1, num_shards):
         # rotating by d delivers shard (p + d) % D's block to shard p
         perm = [((p + d) % num_shards, p) for p in range(num_shards)]

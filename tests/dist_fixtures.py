@@ -874,7 +874,8 @@ CDFS = [
     CdfFam("skew_normal", (Y, 0.5, 2.0, 3.0), lambda y, xi, om, a: st.skewnorm.cdf(y, a, xi, om), tol=5e-6),
     CdfFam("exp_mod_normal", (Y, 0.5, 1.2, 0.7), lambda y, m, s, lam: st.exponnorm.cdf(y, 1 / (lam * s), m, s), tol=5e-6),
     # discrete
-    CdfFam("bernoulli", (np.array([0, 1]), 0.3), lambda y, t: st.bernoulli.cdf(y, t)),
+    CdfFam("bernoulli", (np.array([0, 1]), 0.3), lambda y, t: st.bernoulli.cdf(y, t),
+           logsf=lambda y, t: st.bernoulli.logsf(y, t)),
     CdfFam("binomial", (YI, 8, 0.3), lambda y, n, t: st.binom.cdf(y, n, t)),
     CdfFam("beta_binomial", (YI, 8, 2.0, 3.0), lambda y, n, a, b: st.betabinom.cdf(y, n, a, b)),
     CdfFam("poisson", (YI, 2.5), lambda y, lam: st.poisson.cdf(y, lam)),

@@ -35,6 +35,7 @@ def _banded_logp(z):
 
 
 def test_init_guard_raises_before_dispatch():
+    # user-SUPPLIED inits never retry: a bad explicit init must hard-fail
     with pytest.raises(ValueError, match="non-finite initial log density"):
         sample_nuts(
             lambda z: _banded_logp(z),
@@ -42,8 +43,37 @@ def test_init_guard_raises_before_dispatch():
             4,
             num_warmup=10,
             num_samples=10,
-            num_chains=4,
-            init_radius=2.0,  # guaranteed off-support chains
+            init=jnp.full((4, 4), 1.5),  # all chains off-support
+        )
+
+
+def test_init_guard_retries_banded_support():
+    """Auto-generated inits re-draw failing chains (Stan util::initialize
+    retries up to 100 times) — a bounded-support model with the default
+    init radius must sample, not hard-fail."""
+    res = sample_nuts(
+        _banded_logp,
+        jax.random.PRNGKey(0),
+        4,
+        num_warmup=20,
+        num_samples=10,
+        num_chains=4,
+        init_radius=2.0,  # most draws start off-support; retries land inside
+        max_depth=5,
+    )
+    assert np.isfinite(np.asarray(res.position)).all()
+
+
+def test_init_guard_retry_exhaustion_raises():
+    # a logp that is -inf everywhere exhausts the retries and raises
+    with pytest.raises(ValueError, match="non-finite initial log density"):
+        sample_nuts(
+            lambda z: jnp.full((), -jnp.inf) + 0.0 * jnp.sum(z),
+            jax.random.PRNGKey(0),
+            2,
+            num_warmup=10,
+            num_samples=10,
+            num_chains=2,
         )
 
 
@@ -73,9 +103,10 @@ def test_init_guard_catches_nan_gradient():
 
 
 def test_checkpointed_driver_init_guard(tmp_path):
+    # everywhere--inf logp: retries exhaust and the driver raises pre-dispatch
     with pytest.raises(ValueError, match="non-finite initial log density"):
         sample_nuts_checkpointed(
-            _banded_logp,
+            lambda z: jnp.full((), -jnp.inf) + 0.0 * jnp.sum(z),
             jax.random.PRNGKey(0),
             4,
             checkpoint_path=str(tmp_path / "ck"),

@@ -45,8 +45,19 @@ def test_bessel_grid(ours, ref):
     n, x = _grid()
     got = np.asarray(ours(n, x))
     want = ref(n, x)
-    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-280)
-    assert np.nanmax(rel) < 1e-8, rel.max()
+    # I_n overflows f64 at large x in both implementations; compare only the
+    # finite entries (inf - inf would poison the rel-err array with NaNs) and
+    # require overflow agreement elsewhere.
+    finite = np.isfinite(want)
+    assert np.array_equal(np.isfinite(got), finite)
+    rel = np.zeros_like(want)
+    np.divide(
+        np.abs(np.where(finite, got, 0.0) - np.where(finite, want, 0.0)),
+        np.maximum(np.abs(np.where(finite, want, 1.0)), 1e-280),
+        out=rel,
+        where=finite,
+    )
+    assert rel.max() < 1e-8, rel.max()
 
 
 def test_bessel_reflections():

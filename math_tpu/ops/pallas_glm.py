@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.special as jsp
@@ -346,6 +348,316 @@ def neg_binomial_2_log_glm_fused(y, x, alpha, beta, phi, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# ordered_logistic_glm: single-column link per chain, but the likelihood
+# selects a per-row CUT PAIR (c_{y-1}, c_y) — selected in-kernel with one-hot
+# matmuls against an extended cut matrix so the MXU does the gather.
+# ref: opencl/kernels/ordered_logistic_glm_lpmf.hpp:42 (device kernel),
+# prim/mat/prob/ordered_logistic_glm_lpmf.hpp (closed-form partials).
+# ---------------------------------------------------------------------------
+
+_ORD_BIG = 1e4  # stands in for the +/- inf boundary cuts c_0, c_K
+
+
+def _softplus(t):
+    return jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t)))
+
+
+def _log1m_exp(t):
+    """log(1 - exp(t)) for t <= 0 (ref: log1m_exp.hpp's two-branch form)."""
+    t = jnp.minimum(t, -1e-20)
+    return jnp.where(
+        t > -0.693147,  # ln 2
+        jnp.log(-jnp.expm1(t)),
+        jnp.log1p(-jnp.exp(jnp.maximum(t, -80.0))),
+    )
+
+
+def _ordered_kernel(n_rows_ref, y_ref, x_ref, b_ref, c_ref, lp_ref, gb_ref,
+                    gc_ref, *, block_rows):
+    i = pl.program_id(0)
+    n_rows = n_rows_ref[0]
+
+    x = x_ref[...]  # (bm, D)
+    y = y_ref[...]  # (bm, 1) int32, 1-based categories
+    b = b_ref[...]  # (D, C)
+    cuts_ext = c_ref[...]  # (K+1, C): [-BIG, cuts_1..cuts_{K-1}, +BIG]
+
+    eta = jnp.dot(x, b, preferred_element_type=jnp.float32)  # (bm, C)
+    kp1 = cuts_ext.shape[0]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], kp1), 1)
+    oh_y = (kk == y).astype(jnp.float32)  # picks c_y
+    oh_ym1 = (kk == (y - 1)).astype(jnp.float32)  # picks c_{y-1}
+    u2 = jnp.dot(oh_y, cuts_ext, preferred_element_type=jnp.float32) - eta
+    u1 = jnp.dot(oh_ym1, cuts_ext, preferred_element_type=jnp.float32) - eta
+
+    # log P(y) = log(sigmoid(u2) - sigmoid(u1)) = log_inv_logit_diff(u2, u1)
+    lp = u2 - _softplus(u2) - _softplus(u1) + _log1m_exp(u1 - u2)
+    # w2 = sigma'(u2)/p, w1 = sigma'(u1)/p  (log-space, overflow-safe)
+    w2 = jnp.exp(u2 - 2.0 * _softplus(u2) - lp)
+    w1 = jnp.exp(u1 - 2.0 * _softplus(u1) - lp)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, eta.shape, 0)
+    valid = (row_ids + i * block_rows) < n_rows
+    lp = jnp.where(valid, lp, 0.0)
+    w1 = jnp.where(valid, w1, 0.0)
+    w2 = jnp.where(valid, w2, 0.0)
+    thetap = w1 - w2  # d lp / d eta
+
+    gb_tile = jnp.dot(x.T, thetap, preferred_element_type=jnp.float32)
+    gc_tile = jnp.dot(oh_y.T, w2, preferred_element_type=jnp.float32) - jnp.dot(
+        oh_ym1.T, w1, preferred_element_type=jnp.float32
+    )  # (K+1, C); boundary rows sliced off outside
+
+    @pl.when(i == 0)
+    def _():
+        lp_ref[...] = jnp.zeros_like(lp_ref)
+        gb_ref[...] = jnp.zeros_like(gb_ref)
+        gc_ref[...] = jnp.zeros_like(gc_ref)
+
+    lp_ref[...] += jnp.sum(lp, axis=0, keepdims=True)
+    gb_ref[...] += gb_tile
+    gc_ref[...] += gc_tile
+
+
+def _ordered_forward(y, x, beta, cuts, *, interpret=False):
+    """Single-X-read forward: logp (C,), gbeta (D, C), gcuts (K-1, C)."""
+    from math_tpu.config import get_config
+
+    block_rows = get_config().thresholds.glm_pallas_block_rows
+    n, d = x.shape
+    kc, c = cuts.shape  # kc = K - 1 interior cuts
+    big = jnp.full((1, c), _ORD_BIG, jnp.float32)
+    cuts_ext = jnp.concatenate([-big, cuts.astype(jnp.float32), big], axis=0)
+    n_pad = _round_up(n, block_rows)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        y = jnp.pad(y, (0, n_pad - n), constant_values=1)
+    grid = n_pad // block_rows
+
+    kernel = functools.partial(_ordered_kernel, block_rows=block_rows)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((block_rows, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((block_rows, d), lambda i, *_: (i, 0)),
+                pl.BlockSpec((d, c), lambda i, *_: (0, 0)),
+                pl.BlockSpec((kc + 2, c), lambda i, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, c), lambda i, *_: (0, 0)),
+                pl.BlockSpec((kc + 2, c), lambda i, *_: (0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((d, c), jnp.float32),
+            jax.ShapeDtypeStruct((kc + 2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([n], jnp.int32),
+        y.astype(jnp.int32)[:, None],
+        x.astype(jnp.float32),
+        beta.astype(jnp.float32),
+        cuts_ext,
+    )
+    logp, gb, gc_ext = outs
+    return logp[0], gb, gc_ext[1:-1]
+
+
+def _ordered_eta_partials(y, x, beta, cuts):
+    """Recompute theta' = d lp / d eta for the data-side cotangent."""
+    eta = x @ beta  # (N, C)
+    kc = cuts.shape[0]
+    big = jnp.full((1, cuts.shape[1]), _ORD_BIG, eta.dtype)
+    cuts_ext = jnp.concatenate([-big, cuts, big], axis=0)
+    u2 = cuts_ext[jnp.clip(y, 1, kc + 1)] - eta
+    u1 = cuts_ext[jnp.clip(y - 1, 0, kc)] - eta
+    lp = u2 - _softplus(u2) - _softplus(u1) + _log1m_exp(u1 - u2)
+    w2 = jnp.exp(u2 - 2.0 * _softplus(u2) - lp)
+    w1 = jnp.exp(u1 - 2.0 * _softplus(u1) - lp)
+    return w1 - w2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ordered_logistic_glm_fused(y, x, beta, cuts, interpret=False):
+    """Fused multi-chain ordered-logistic GLM: y (N,) int 1..K, x (N, D),
+    beta (D, C), cuts (K-1, C) -> logp (C,).  One X read computes logp and
+    the beta/cuts partials (ref: ordered_logistic_glm_lpmf.hpp;
+    opencl/kernels/ordered_logistic_glm_lpmf.hpp:42)."""
+    logp, _, _ = _ordered_forward(y, x, beta, cuts, interpret=interpret)
+    return logp
+
+
+def _ordered_fwd(y, x, beta, cuts, interpret):
+    need_data = x.perturbed
+    y, x, beta, cuts = (v.value for v in (y, x, beta, cuts))
+    logp, gb, gc = _ordered_forward(y, x, beta, cuts, interpret=interpret)
+    return logp, (gb, gc, y, x, beta, cuts, need_data)
+
+
+def _ordered_bwd(interpret, res, g):
+    gb, gc, y, x, beta, cuts, need_data = res
+    if need_data:
+        thetap = _ordered_eta_partials(y, x, beta, cuts)
+        dx = ((thetap * g[None, :]) @ beta.T).astype(x.dtype)
+    else:
+        dx = jnp.zeros_like(x)
+    dy = np.zeros(y.shape, dtype=jax.dtypes.float0)  # int categories
+    return dy, dx, (gb * g[None, :]).astype(beta.dtype), (
+        gc * g[None, :]
+    ).astype(cuts.dtype)
+
+
+ordered_logistic_glm_fused.defvjp(
+    _ordered_fwd, _ordered_bwd, symbolic_zeros=True
+)
+
+
+# ---------------------------------------------------------------------------
+# categorical_logit_glm: K-class theta' per chain — eta is (rows, K) for
+# EACH chain, so the kernel grids over (chain, row-block) and every chain
+# gets its own (D, K) beta block and (bm, K) softmax tile; two MXU shapes
+# per tile ((bm,D)x(D,K) and (D,bm)x(bm,K)).
+# ref: opencl/kernels/categorical_logit_glm_lpmf.hpp:42 (logp kernel) and
+# :174 (dedicated beta-derivative kernel) — here both fuse into one pass.
+# ---------------------------------------------------------------------------
+
+
+def _categorical_kernel(n_rows_ref, y_ref, x_ref, a_ref, b_ref, lp_ref,
+                        ga_ref, gb_ref, *, block_rows):
+    i = pl.program_id(1)  # row-block (innermost: output blocks accumulate)
+    n_rows = n_rows_ref[0]
+
+    x = x_ref[...]  # (bm, D)
+    y = y_ref[...]  # (bm, 1) int32, 1-based classes
+    a = a_ref[0]  # (1, K) -> (K,) via block (1, 1, K)? kept 2D below
+    b = b_ref[0]  # (D, K)
+
+    eta = jnp.dot(x, b, preferred_element_type=jnp.float32) + a  # (bm, K)
+    m = jnp.max(eta, axis=1, keepdims=True)
+    ez = jnp.exp(eta - m)
+    lse = m + jnp.log(jnp.sum(ez, axis=1, keepdims=True))  # (bm, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, eta.shape, 1)
+    onehot = (kk == (y - 1)).astype(jnp.float32)  # (bm, K)
+    picked = jnp.sum(onehot * eta, axis=1, keepdims=True)
+    lp = picked - lse  # (bm, 1)
+    softmax = ez / jnp.sum(ez, axis=1, keepdims=True)
+    thetap = onehot - softmax  # (bm, K)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 0)
+    valid = (row_ids + i * block_rows) < n_rows
+    lp = jnp.where(valid, lp, 0.0)
+    thetap = jnp.where(valid, thetap, 0.0)
+
+    gb_tile = jnp.dot(x.T, thetap, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        lp_ref[...] = jnp.zeros_like(lp_ref)
+        ga_ref[...] = jnp.zeros_like(ga_ref)
+        gb_ref[...] = jnp.zeros_like(gb_ref)
+
+    lp_ref[...] += jnp.sum(lp)[None, None]
+    ga_ref[...] += jnp.sum(thetap, axis=0, keepdims=True)[None]
+    gb_ref[...] += gb_tile[None]
+
+
+def _categorical_forward(y, x, alpha, beta, *, interpret=False):
+    """logp (C,), galpha (C, K), gbeta (C, D, K); alpha (C, K), beta (C, D, K)."""
+    from math_tpu.config import get_config
+
+    block_rows = get_config().thresholds.glm_pallas_block_rows
+    n, d = x.shape
+    c, _, k = beta.shape
+    n_pad = _round_up(n, block_rows)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        y = jnp.pad(y, (0, n_pad - n), constant_values=1)
+    grid = (c, n_pad // block_rows)
+
+    kernel = functools.partial(_categorical_kernel, block_rows=block_rows)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, 1), lambda ci, i, *_: (i, 0)),
+                pl.BlockSpec((block_rows, d), lambda ci, i, *_: (i, 0)),
+                pl.BlockSpec((1, 1, k), lambda ci, i, *_: (ci, 0, 0)),
+                pl.BlockSpec((1, d, k), lambda ci, i, *_: (ci, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda ci, i, *_: (ci, 0)),
+                pl.BlockSpec((1, 1, k), lambda ci, i, *_: (ci, 0, 0)),
+                pl.BlockSpec((1, d, k), lambda ci, i, *_: (ci, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((c, d, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([n], jnp.int32),
+        y.astype(jnp.int32)[:, None],
+        x.astype(jnp.float32),
+        alpha.astype(jnp.float32)[:, None, :],
+        beta.astype(jnp.float32),
+    )
+    logp, ga, gb = outs
+    return logp[:, 0], ga[:, 0, :], gb
+
+
+def _categorical_eta_partials(y, x, alpha, beta):
+    """theta' (C, N, K) recompute for the data-side cotangent."""
+    eta = jnp.einsum("nd,cdk->cnk", x, beta) + alpha[:, None, :]
+    onehot = jax.nn.one_hot(y - 1, eta.shape[-1], dtype=eta.dtype)
+    return onehot[None] - jax.nn.softmax(eta, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def categorical_logit_glm_fused(y, x, alpha, beta, interpret=False):
+    """Fused multi-chain categorical-logit GLM: y (N,) int 1..K, x (N, D),
+    alpha (C, K), beta (C, D, K) -> logp (C,).  One X read per chain block
+    computes logp and the alpha/beta partials in the same pass (ref:
+    categorical_logit_glm_lpmf.hpp:42,174)."""
+    logp, _, _ = _categorical_forward(y, x, alpha, beta, interpret=interpret)
+    return logp
+
+
+def _categorical_fwd(y, x, alpha, beta, interpret):
+    need_data = x.perturbed
+    y, x, alpha, beta = (v.value for v in (y, x, alpha, beta))
+    logp, ga, gb = _categorical_forward(y, x, alpha, beta, interpret=interpret)
+    return logp, (ga, gb, y, x, alpha, beta, need_data)
+
+
+def _categorical_bwd(interpret, res, g):
+    ga, gb, y, x, alpha, beta, need_data = res
+    if need_data:
+        thetap = _categorical_eta_partials(y, x, alpha, beta)
+        dx = jnp.einsum("c,cnk,cdk->nd", g, thetap, beta).astype(x.dtype)
+    else:
+        dx = jnp.zeros_like(x)
+    dy = np.zeros(y.shape, dtype=jax.dtypes.float0)  # int classes
+    return dy, dx, (ga * g[:, None]).astype(alpha.dtype), (
+        gb * g[:, None, None]
+    ).astype(beta.dtype)
+
+
+categorical_logit_glm_fused.defvjp(
+    _categorical_fwd, _categorical_bwd, symbolic_zeros=True
+)
+
+
+# ---------------------------------------------------------------------------
 # Threshold dispatchers (ref: the ``*_worth_transfer`` runtime dispatch in
 # opencl_context.hpp:164-183).  alpha (C,), beta (K, C) -> logp (C,); uses
 # the fused Pallas kernel when the measured thresholds say it wins, else
@@ -397,3 +709,40 @@ def neg_binomial_2_log_glm_lpmf_chains(y, x, alpha, beta, phi, *, interpret=Fals
     core = jnp.sum(yc * eta - (yc + pc) * lse, axis=0)
     data = jnp.sum(jsp.gammaln(yc + pc), axis=0)
     return core + data - n * jsp.gammaln(phi) + n * phi * jnp.log(phi)
+
+
+def ordered_logistic_glm_lpmf_chains(y, x, beta, cuts, *, interpret=False):
+    """y (N,) int 1..K, x (N, D), beta (D, C), cuts (K-1, C) -> (C,).
+    Assumes valid data (like the other chains dispatchers); mirrors
+    dists.ordered_logistic_glm_lpmf(..., propto=True) per chain."""
+    if _use_pallas(x, beta):
+        return ordered_logistic_glm_fused(y, x, beta, cuts, interpret)
+    eta = x @ beta  # (N, C)
+    kc = cuts.shape[0]
+    big = jnp.full((1, cuts.shape[1]), _ORD_BIG, eta.dtype)
+    cuts_ext = jnp.concatenate([-big, cuts, big], axis=0)
+    y = jnp.asarray(y, jnp.int32)
+    u2 = cuts_ext[jnp.clip(y, 1, kc + 1)] - eta
+    u1 = cuts_ext[jnp.clip(y - 1, 0, kc)] - eta
+    lp = u2 - _softplus(u2) - _softplus(u1) + _log1m_exp(u1 - u2)
+    return jnp.sum(lp, axis=0)
+
+
+def categorical_logit_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
+    """y (N,) int 1..K, x (N, D), alpha (C, K), beta (C, D, K) -> (C,).
+    Mirrors dists.categorical_logit_glm_lpmf(..., propto=True) per chain."""
+    n = x.shape[0]
+    c = beta.shape[0]
+    from math_tpu.config import get_config
+
+    th = get_config().thresholds
+    if n >= th.glm_pallas_min_rows and c >= th.glm_pallas_min_chains:
+        return categorical_logit_glm_fused(y, x, alpha, beta, interpret)
+    eta = jnp.einsum("nd,cdk->cnk", x, beta) + alpha[:, None, :]
+    logsm = jax.nn.log_softmax(eta, axis=-1)
+    yi = jnp.asarray(y, jnp.int32) - 1
+    picked = jnp.take_along_axis(
+        logsm, jnp.broadcast_to(yi[None, :, None], (c, eta.shape[1], 1)),
+        axis=-1,
+    )[..., 0]
+    return jnp.sum(picked, axis=-1)

@@ -169,6 +169,195 @@ def test_fused_row_masking(family):
     )
 
 
+# --- ordered_logistic_glm (ref: opencl/kernels/ordered_logistic_glm_lpmf.hpp:42)
+
+KCUT = 4  # K = 5 categories
+CUTS = jnp.asarray(
+    np.sort(RNG.normal(size=(KCUT, C)), axis=0) * 1.2, jnp.float32
+)
+Y_ORD = RNG.integers(1, KCUT + 2, N).astype(np.int32)  # classes 1..K
+
+
+def _ordered_ref_per_chain(b, c):
+    return dists.ordered_logistic_glm_lpmf(Y_ORD, X, b, c, propto=True)
+
+
+def test_ordered_fused_value_parity():
+    got = pg.ordered_logistic_glm_fused(jnp.asarray(Y_ORD), X, B, CUTS, True)
+    want = jax.vmap(_ordered_ref_per_chain, in_axes=(1, 1))(B, CUTS)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3
+    )
+
+
+def test_ordered_fused_grad_parity():
+    gf = jax.grad(
+        lambda b, c: jnp.sum(
+            pg.ordered_logistic_glm_fused(jnp.asarray(Y_ORD), X, b, c, True)
+        ),
+        (0, 1),
+    )(B, CUTS)
+    gx = jax.grad(
+        lambda b, c: jnp.sum(
+            jax.vmap(_ordered_ref_per_chain, in_axes=(1, 1))(b, c)
+        ),
+        (0, 1),
+    )(B, CUTS)
+    for f, x in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(x), rtol=3e-4, atol=1e-3
+        )
+
+
+def test_ordered_fused_data_grad_parity():
+    def f_fused(xx):
+        return jnp.sum(
+            pg.ordered_logistic_glm_fused(jnp.asarray(Y_ORD), xx, B, CUTS, True)
+        )
+
+    def f_xla(xx):
+        return jnp.sum(
+            jax.vmap(
+                lambda b, c: dists.ordered_logistic_glm_lpmf(
+                    Y_ORD, xx, b, c, propto=True
+                ),
+                in_axes=(1, 1),
+            )(B, CUTS)
+        )
+
+    gx_f = jax.grad(f_fused)(X)
+    gx_x = jax.grad(f_xla)(X)
+    assert float(jnp.abs(gx_f).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_x), rtol=3e-4, atol=1e-3
+    )
+
+
+def test_ordered_fused_row_masking():
+    n_odd = 1537
+    got = pg.ordered_logistic_glm_fused(
+        jnp.asarray(Y_ORD[:n_odd]), X[:n_odd], B, CUTS, True
+    )
+    want = jax.vmap(
+        lambda b, c: dists.ordered_logistic_glm_lpmf(
+            Y_ORD[:n_odd], X[:n_odd], b, c, propto=True
+        ),
+        in_axes=(1, 1),
+    )(B, CUTS)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3
+    )
+
+
+def test_ordered_extreme_eta_stable():
+    # far-out linear predictor: logp stays finite-or--inf, grads nan-free
+    bx = 30.0 * B
+    got = pg.ordered_logistic_glm_fused(jnp.asarray(Y_ORD), X, bx, CUTS, True)
+    gb, gc = jax.grad(
+        lambda b, c: jnp.sum(
+            pg.ordered_logistic_glm_fused(jnp.asarray(Y_ORD), X, b, c, True)
+        ),
+        (0, 1),
+    )(bx, CUTS)
+    assert not np.isnan(np.asarray(got)).any()
+    assert np.isfinite(np.asarray(gb)).all()
+    assert np.isfinite(np.asarray(gc)).all()
+
+
+# --- categorical_logit_glm (ref: opencl/kernels/categorical_logit_glm_lpmf.hpp:42,174)
+
+KCLS = 5
+A_CAT = jnp.asarray(RNG.normal(size=(C, KCLS)) * 0.3, jnp.float32)
+B_CAT = jnp.asarray(RNG.normal(size=(C, K, KCLS)) * 0.2, jnp.float32)
+Y_CAT = RNG.integers(1, KCLS + 1, N).astype(np.int32)
+
+
+def _categorical_ref_all(a, b):
+    return jax.vmap(
+        lambda ac, bc: dists.categorical_logit_glm_lpmf(
+            Y_CAT, X, ac, bc, propto=True
+        )
+    )(a, b)
+
+
+def test_categorical_fused_value_parity():
+    got = pg.categorical_logit_glm_fused(
+        jnp.asarray(Y_CAT), X, A_CAT, B_CAT, True
+    )
+    want = _categorical_ref_all(A_CAT, B_CAT)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3
+    )
+
+
+def test_categorical_fused_grad_parity():
+    gf = jax.grad(
+        lambda a, b: jnp.sum(
+            pg.categorical_logit_glm_fused(jnp.asarray(Y_CAT), X, a, b, True)
+        ),
+        (0, 1),
+    )(A_CAT, B_CAT)
+    gx = jax.grad(
+        lambda a, b: jnp.sum(_categorical_ref_all(a, b)), (0, 1)
+    )(A_CAT, B_CAT)
+    for f, x in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(x), rtol=3e-4, atol=1e-3
+        )
+
+
+def test_categorical_fused_data_grad_parity():
+    def f_fused(xx):
+        return jnp.sum(
+            pg.categorical_logit_glm_fused(jnp.asarray(Y_CAT), xx, A_CAT, B_CAT, True)
+        )
+
+    def f_xla(xx):
+        return jnp.sum(
+            jax.vmap(
+                lambda ac, bc: dists.categorical_logit_glm_lpmf(
+                    Y_CAT, xx, ac, bc, propto=True
+                )
+            )(A_CAT, B_CAT)
+        )
+
+    gx_f = jax.grad(f_fused)(X)
+    gx_x = jax.grad(f_xla)(X)
+    assert float(jnp.abs(gx_f).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_x), rtol=3e-4, atol=1e-3
+    )
+
+
+def test_categorical_fused_row_masking():
+    n_odd = 1537
+    got = pg.categorical_logit_glm_fused(
+        jnp.asarray(Y_CAT[:n_odd]), X[:n_odd], A_CAT, B_CAT, True
+    )
+    want = jax.vmap(
+        lambda ac, bc: dists.categorical_logit_glm_lpmf(
+            Y_CAT[:n_odd], X[:n_odd], ac, bc, propto=True
+        )
+    )(A_CAT, B_CAT)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-3
+    )
+
+
+def test_new_chains_dispatchers_xla_path():
+    # small problems dispatch to the XLA fallback with identical values
+    got_o = np.asarray(
+        pg.ordered_logistic_glm_lpmf_chains(jnp.asarray(Y_ORD), X, B, CUTS)
+    )
+    want_o = np.asarray(jax.vmap(_ordered_ref_per_chain, in_axes=(1, 1))(B, CUTS))
+    np.testing.assert_allclose(got_o, want_o, rtol=1e-5)
+    got_c = np.asarray(
+        pg.categorical_logit_glm_lpmf_chains(jnp.asarray(Y_CAT), X, A_CAT, B_CAT)
+    )
+    want_c = np.asarray(_categorical_ref_all(A_CAT, B_CAT))
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5)
+
+
 def test_dispatch_thresholds():
     # small problem: dispatches to XLA path (values match exactly)
     got = np.asarray(pg.bernoulli_logit_glm_lpmf_chains(jnp.asarray(Y_BERN), X, A, B))

@@ -735,7 +735,10 @@ NOT_APPLICABLE = {
     "typedefs": "Eigen typedef header",
     "Eigen": "Eigen forward-declaration header",
     "MatrixExponential.h": "vendored Eigen internal; matrix_exp covers it",
-    "matrix_exp_action_handler": "internal helper of matrix_exp_multiply",
+    "matrix_exp_action_handler": (
+        "implemented: ops/linalg._expm_action_core (shifted truncated-Taylor"
+        " action with static substeps), dispatched by matrix_exp_multiply"
+    ),
     "boost_policy": "boost error-policy configuration header",
     "constants": "constants live in math_tpu.special.basic (LOG_TWO, ...)",
     "is_uninitialized": "no uninitialized vars in a functional framework",

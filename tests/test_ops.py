@@ -62,6 +62,64 @@ def test_linalg_values():
     )
 
 
+class TestMatrixExpAction:
+    """Action algorithm (ref: matrix_exp_action_handler.hpp) vs dense expm."""
+
+    def test_value_parity_small_and_large_norm(self):
+        for scale in [0.1, 1.0, 8.0, 40.0]:  # 40: needs s ~ 9 substeps
+            got = np.asarray(la.matrix_exp_multiply(scale * A, B))
+            want = scipy.linalg.expm(scale * A) @ B
+            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    def test_scale_form(self):
+        got = np.asarray(la.scale_matrix_exp_multiply(2.5, A, B))
+        want = scipy.linalg.expm(2.5 * A) @ B
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    def test_traced_with_norm_bound(self):
+        # under jit A is traced: max_norm= supplies the static substep count
+        norm = float(np.abs(A).sum(axis=0).max())
+
+        @jax.jit
+        def f(a, b):
+            return la.matrix_exp_multiply(a, b, max_norm=norm * 1.5)
+
+        np.testing.assert_allclose(
+            np.asarray(f(A, B)), scipy.linalg.expm(A) @ B, rtol=1e-8
+        )
+
+    def test_traced_without_bound_dense_fallback(self):
+        @jax.jit
+        def f(a, b):
+            return la.matrix_exp_multiply(a, b)
+
+        np.testing.assert_allclose(
+            np.asarray(f(A, B)), scipy.linalg.expm(A) @ B, rtol=1e-7
+        )
+
+    def test_grad_vs_dense_path(self):
+        # AD through the scan-based action vs AD through dense expm
+        norm = float(np.abs(A).sum(axis=0).max())
+
+        def f_action(a):
+            return jnp.sum(la.matrix_exp_multiply(a, B, max_norm=norm * 2))
+
+        def f_dense(a):
+            return jnp.sum(la.matrix_exp(a) @ B)
+
+        g_action = np.asarray(jax.grad(f_action)(jnp.asarray(A)))
+        g_dense = np.asarray(jax.grad(f_dense)(jnp.asarray(A)))
+        np.testing.assert_allclose(g_action, g_dense, rtol=1e-6, atol=1e-8)
+        # b-side gradient too
+        gb_action = np.asarray(
+            jax.grad(
+                lambda b: jnp.sum(la.matrix_exp_multiply(A, b))
+            )(jnp.asarray(B))
+        )
+        gb_dense = scipy.linalg.expm(A).T @ np.ones((5, 3))
+        np.testing.assert_allclose(gb_action, gb_dense, rtol=1e-8)
+
+
 def test_csr_matrix_times_vector():
     import scipy.sparse as sp
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from math_tpu import dists, transforms
 from math_tpu.model import make_log_density
+from math_tpu.ops import segment
 
 
 def synthetic_data(n_counties=85, n_obs=919, seed=0, dtype=np.float64):
@@ -46,7 +47,12 @@ def make(n_counties: int):
         lp += dists.std_normal_lpdf(zb, propto=True)
         a = mu_a + sigma_a * za
         b = mu_b + sigma_b * zb
-        mu = a[county] + b[county] * x
+        # a[county] + b[county] * x as one-hot MXU matmuls: the gather's
+        # scatter-add VJP is 1.7-1.9x slower on TPU (v5e, 1024 chains);
+        # the one-hot build is loop-invariant and hoisted out of the
+        # sampler's scan.  See ops/segment.py.
+        M = segment.onehot_matrix(county, n_counties, x.dtype)
+        mu = M @ a + (M @ b) * x
         lp += dists.normal_lpdf(y, mu, sigma_y, propto=True)
         return lp
 

@@ -17,3 +17,8 @@ from math_tpu.ops.chol_pallas import (  # noqa: F401
     chol_inv_block,
     cholesky_blocked_pallas,
 )
+from math_tpu.ops.segment import (  # noqa: F401
+    onehot_matrix,
+    segment_gather,
+    segment_sum,
+)

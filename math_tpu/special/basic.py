@@ -186,14 +186,46 @@ def inc_beta(a, b, x):
     return jsp.betainc(a, b, x)
 
 
+@jax.custom_jvp
 def gamma_p(a, z):
-    """Regularized lower incomplete gamma P(a, z) (ref: ``gamma_p.hpp``)."""
+    """Regularized lower incomplete gamma P(a, z) (ref: ``gamma_p.hpp``).
+
+    custom_jvp: XLA's igamma ships only first-order rules; expressing the
+    partials through ``grad_reg_lower_inc_gamma`` (itself differentiable)
+    gives second-order AD — the reference's fvar<fvar<var>> instantiation.
+    """
     return jsp.gammainc(a, z)
 
 
+@gamma_p.defjvp
+def _gamma_p_jvp(primals, tangents):
+    from math_tpu.special.hyper import grad_reg_lower_inc_gamma
+
+    a, z = primals
+    da, dz = tangents
+    p = gamma_p(a, z)
+    dpda = grad_reg_lower_inc_gamma(a, z)
+    dpdz = jnp.exp(-z + (a - 1.0) * jnp.log(z) - jsp.gammaln(a))
+    return p, dpda * da + dpdz * dz
+
+
+@jax.custom_jvp
 def gamma_q(a, z):
-    """Regularized upper incomplete gamma Q(a, z) (ref: ``gamma_q.hpp``)."""
+    """Regularized upper incomplete gamma Q(a, z) (ref: ``gamma_q.hpp``);
+    second-order-capable partials via ``grad_reg_inc_gamma`` (see gamma_p)."""
     return jsp.gammaincc(a, z)
+
+
+@gamma_q.defjvp
+def _gamma_q_jvp(primals, tangents):
+    from math_tpu.special.hyper import grad_reg_inc_gamma
+
+    a, z = primals
+    da, dz = tangents
+    q = gamma_q(a, z)
+    dqda = grad_reg_inc_gamma(a, z)
+    dqdz = -jnp.exp(-z + (a - 1.0) * jnp.log(z) - jsp.gammaln(a))
+    return q, dqda * da + dqdz * dz
 
 
 # --- normal CDF family (ref: Phi.hpp, inv_Phi.hpp, Phi_approx.hpp) ----------

@@ -113,7 +113,12 @@ def _dQ_da_asym(a, z):
         dfac = am1k * dfac + fac
         fac = fac * am1k
         delta = dfac / zpow
-    q = jsp.gammaincc(a, z)
+    # route through the custom-rule gamma_q (not jsp.gammaincc): XLA's
+    # igamma_grad_a primitive has no derivative rule, so second-order AD of
+    # this partial needs the hand-written jvp (one recursion level per order)
+    from math_tpu.special.basic import gamma_q
+
+    q = gamma_q(a, z)
     return q * (l - dig) + jnp.exp(-z + (a - 1.0) * l - jsp.gammaln(a)) * s
 
 

@@ -64,7 +64,10 @@ def _inc_beta_jvp(primals, tangents):
     a = jnp.asarray(a, jnp.result_type(a, b, x, 1.0))
     b = jnp.asarray(b, a.dtype)
     x = jnp.asarray(x, a.dtype)
-    p = jsp.betainc(a, b, x)
+    # self-reference (not jsp.betainc): differentiating this tangent again
+    # must reuse the custom rule — jsp.betainc has no (a, b) gradient, and
+    # routing through inc_beta makes the function smooth to arbitrary order
+    p = inc_beta(a, b, x)
 
     lbeta = jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b)
     binv = jnp.exp(-lbeta)

@@ -63,17 +63,22 @@ def main():
         )
     )
 
-    # compile (not timed: amortized in production); device_get forces full
-    # materialization — block_until_ready can return early on remote-proxy
-    # backends
+    # compile (not timed: amortized in production); forcing uses an
+    # on-device scalar checksum — block_until_ready can return early on
+    # remote-proxy backends, and pulling the full draw array through the
+    # relay tunnel measures the tunnel, not the sampler (see
+    # benches/common._force)
+    from benches.common import _force
+
     res = run(keys, z0)
-    jax.device_get(res.position)
+    _force(res)
 
     keys2 = jax.random.split(jax.random.PRNGKey(7), num_chains)
     t0 = time.perf_counter()
     res = run(keys2, z0)
-    pos = jax.device_get(res.position)
+    _force(res)
     dt = time.perf_counter() - t0
+    pos = jax.device_get(res.position)
 
     pos = np.nan_to_num(np.asarray(pos), nan=0.0)  # (chains, samples, dim)
     ess = np.array([ess_bulk(pos[:, :, i]) for i in range(model.dim)])

@@ -41,7 +41,7 @@ def main():
     grads = int(np.asarray(res.n_leapfrog).sum())
     beta_err = float(
         np.abs(
-            np.asarray(res.position)[:, samp // 2 :, 1:].reshape(-1, 50).mean(0)
+            np.asarray(res.position[:, samp // 2 :, 1:]).reshape(-1, 50).mean(0)
             - beta_true
         ).max()
     )

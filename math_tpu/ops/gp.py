@@ -7,6 +7,15 @@ squared-distance matrix is one matmul-shaped computation
 analytic adjoint of the reference is recovered automatically by XLA's
 fusion of the VJP.
 
+Analytic-adjoint decision (measured, v5e, n=2000, r3): the traced
+kernel-matrix VJP costs 2.4 ms per 8-chain leapfrog vs 30.4 ms for the
+Cholesky+VJP it feeds — 8% of the leapfrog.  XLA already fuses the
+O(N^2) elementwise adjoint (the reference hand-writes it at
+``rev/mat/fun/gp_exp_quad_cov.hpp:33-96`` to avoid N^2 tape nodes, a
+problem trace-time AD does not have), so a custom_vjp/Pallas kernel
+here has <=8% headroom and is intentionally NOT implemented; the
+optimization budget goes to the Cholesky (``ops/chol_pallas.py``).
+
 Inputs: x is (N, D) (or (N,) for 1-D inputs); returns (N, N) or (N, M).
 """
 

@@ -125,3 +125,47 @@ def test_pallas_blocked_vmap():
         jax.vmap(lambda m: cholesky_blocked_pallas(m, block_size=32))(jnp.asarray(aa))
     )
     np.testing.assert_allclose(Lb, np.linalg.cholesky(aa), rtol=1e-9, atol=1e-10)
+
+
+def test_vmap_merges_into_kernel_batch():
+    """vmap must FOLD the chain axis into the kernel's batch dimension
+    (primitive batching rule), not serialize it through a Pallas grid —
+    that serialization cost 3.5 ms/chain flat on v5e."""
+    from math_tpu.ops.chol_pallas import chol_inv_block
+
+    rng = np.random.default_rng(3)
+    B = 8
+    A = rng.normal(size=(5, B, B))
+    A = A @ np.swapaxes(A, -1, -2) + B * np.eye(B)
+    jaxpr = str(jax.make_jaxpr(jax.vmap(chol_inv_block))(jnp.asarray(A)))
+    assert jaxpr.count("math_tpu_chol_inv_block") == 1, jaxpr
+    U, W = jax.vmap(chol_inv_block)(jnp.asarray(A))
+    U2, W2 = chol_inv_block(jnp.asarray(A))  # direct batched call
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U2), rtol=1e-12)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(U[i]).T, np.linalg.cholesky(A[i]), rtol=1e-10
+        )
+
+
+def test_vmapped_grad_through_symmetric_input():
+    """Batched VJP parity vs XLA through a symmetric construction (the
+    blocked adjoint's raw triangle layout is a documented convention
+    difference; symmetric-input gradients must agree exactly)."""
+    from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
+
+    rng = np.random.default_rng(5)
+    n = 40
+    xs = rng.normal(size=(3, n, n)) * 0.3
+
+    def f_blocked(x):
+        k = x @ jnp.swapaxes(x, -1, -2) + n * jnp.eye(n)
+        return jnp.sum(cholesky_blocked_pallas(k, block_size=16))
+
+    def f_ref(x):
+        k = x @ jnp.swapaxes(x, -1, -2) + n * jnp.eye(n)
+        return jnp.sum(jnp.linalg.cholesky(k))
+
+    g_b = np.asarray(jax.vmap(jax.grad(f_blocked))(jnp.asarray(xs)))
+    g_r = np.asarray(jax.vmap(jax.grad(f_ref))(jnp.asarray(xs)))
+    np.testing.assert_allclose(g_b, g_r, rtol=1e-8, atol=1e-10)

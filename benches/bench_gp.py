@@ -1,17 +1,33 @@
-"""BASELINE.md config 5: GP regression, 2k points, Cholesky latent — NUTS + SMC.
+"""BASELINE.md config 5: GP regression, 2k points — NUTS (latent + marginal) + SMC.
 
-Baseline derivation (no published numbers exist — BASELINE.md): CPU Stan's
-per-leapfrog cost at n=2000 is one f64 Cholesky + its adjoint
-(~2x 2.7 GFLOP at the ~5-15 GFLOP/s a single core sustains on LAPACK)
-~ 0.4-1 s; typical adapted treedepth 6 => ~60 s per draw per chain; with
-4 parallel chains and ~0.5 relative ESS for the hyperparameters this is
-~0.03 ESS/s.  Use 0.025 ESS/s as the CPU-Stan baseline.
+Two NUTS legs, both reporting honest min-bulk-ESS/s:
+
+* **latent-f** (the BASELINE.md config): 2003-dim posterior; mixing per
+  draw is slow for ANY sampler, so ESS/s is low in absolute terms for
+  the TPU and CPU alike.  CPU-Stan baseline derivation (no published
+  numbers exist): per-leapfrog one f64 n=2000 Cholesky + adjoint
+  (~2x 2.7 GFLOP at the ~5-15 GFLOP/s one core sustains on LAPACK)
+  ~ 0.4-1 s; adapted treedepth ~6 => ~30-60 s/draw/chain; 4 parallel
+  chains, ~0.5 relative hyperparameter ESS => ~0.03 ESS/s.  Use 0.025.
+
+* **marginal** (the production formulation; Stan's GP docs marginalize
+  f analytically for Gaussian likelihoods): y ~ MVN(0, K + sigma^2 I),
+  3-dim posterior over hyperparameters — the same posterior the latent
+  model induces on (rho, alpha, sigma).  Per-leapfrog cost is the same
+  O(n^3) Cholesky (+ one O(n^2 m) solve), but mixing is orders of
+  magnitude faster.  CPU-Stan baseline: ~0.3-0.5 s/leapfrog, adapted
+  depth ~3-4 (=> ~10 leapfrogs/draw => ~3-5 s/draw/chain), 4 parallel
+  chains, ~0.4-0.6 relative bulk ESS on 1k draws => ~0.4-0.7 ESS/s.
+  Use 0.5 ESS/s.
 
 Engineering notes (v5e): the per-leapfrog Cholesky runs through the
-Pallas blocked kernel (`ops/chol_pallas.py`).  Sampling goes through the
-checkpointed chunked driver — the remote TPU worker kills dispatches that
-run for tens of minutes, so each chunk is its own short dispatch (this is
-also the production shape: crash-safe long chains).
+batched Pallas blocked kernel (`ops/chol_pallas.py` — vmapped chains fold
+into ONE kernel batch) with the blocked Murray adjoint; the triangular
+solve is `ops/cholesky.mdivide_left_tri_low_blocked` with a
+block-substitution adjoint.  Sampling goes through the checkpointed
+chunked driver — the remote TPU worker kills dispatches that run for tens
+of minutes, so each chunk is its own short dispatch (also the production
+shape: crash-safe long chains).
 """
 
 import os
@@ -28,22 +44,20 @@ from math_tpu.infer.resume import sample_nuts_checkpointed
 from math_tpu.infer.smc import smc_tempered
 from math_tpu.models import gp_regression
 
+N = 2000
+# jitter must clear the f32 noise floor of the kernel matrix
+# (lambda_max ~ n => eps_f32 * n ~ 2.4e-4); 1e-3 keeps K factorizable
+# in f32 and is dominated by the 0.3 observation noise
+JITTER = 1e-3
 
-def main():
-    n = 2000
-    xg, yg = gp_regression.synthetic_data(n, dtype=np.float32)
-    # jitter must clear the f32 noise floor of the kernel matrix
-    # (lambda_max ~ n => eps_f32 * n ~ 2.4e-4); 1e-3 keeps K factorizable
-    # in f32 and is dominated by the 0.3 observation noise
-    model = gp_regression.make(n, jitter=1e-3)
-    xj, yj = jnp.asarray(xg), jnp.asarray(yg)
+
+def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag):
+    xj, yj = args
 
     def logp(z):
         return model.logp(z, xj, yj)
 
-    num_chains, warm, samp = 8, 200, 150
-
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="gp_bench_"), "ck")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix=f"gp_{tag}_"), "ck")
     t0 = time.perf_counter()
     pos, div, info = sample_nuts_checkpointed(
         logp,
@@ -53,52 +67,80 @@ def main():
         num_warmup=warm,
         num_samples=samp,
         num_chains=num_chains,
-        chunk_size=10,
-        warmup_chunk_size=10,
-        max_depth=6,
+        chunk_size=chunk,
+        warmup_chunk_size=chunk,
+        max_depth=depth,
         target_accept=0.8,
         init_radius=0.5,
         dtype=jnp.float32,
     )
     wall = time.perf_counter() - t0
     min_ess, eps_s = min_ess_per_sec(pos, wall, coords=range(3))
+    leapfrogs = (warm + samp) * (2**depth - 1) * num_chains  # upper bound
+    return {
+        "wall_s": round(wall, 2),
+        "chains": num_chains,
+        "min_ess": round(min_ess, 1),
+        "ess_per_sec": round(eps_s, 4),
+        "divergence_rate": float(np.asarray(div).mean()),
+        "grad_evals_per_sec": round(leapfrogs / wall, 1),
+        # per-leapfrog flops: batched chol fwd n^3/3 + Murray-blocked
+        # adjoint ~4 n^3 (P matmul + two block solves) per chain
+        "gflops_per_sec": round(
+            leapfrogs * (N**3 / 3 + 4 * N**3) / wall / 1e9, 1
+        ),
+    }
 
-    # Same-algorithm CPU comparison: NUTS mixing per draw is identical, so
-    # the fair ratio is wall-time for the same leapfrog budget.  Per
-    # leapfrog CPU Stan pays an f64 n=2000 Cholesky + adjoint (~0.5 s, see
-    # baseline derivation above).
-    leapfrogs = (warm + samp) * (2 ** 6 - 1) * num_chains  # depth-6 budget
-    cpu_wall_same_budget = leapfrogs / num_chains * 0.5  # chains parallel
-    cpu_eps_same_budget = min_ess / cpu_wall_same_budget
 
-    # SMC leg: capability demo with a small particle budget (one dispatch,
-    # kept short enough for the remote worker's execution limit)
+def main():
+    xg, yg = gp_regression.synthetic_data(N, dtype=np.float32)
+    args = (jnp.asarray(xg), jnp.asarray(yg))
+
+    # --- marginal leg (headline): production formulation, honest ESS/s
+    marg = gp_regression.make_marginal(N, jitter=JITTER)
+    m = run_leg(
+        marg, args, num_chains=32, warm=200, samp=300, depth=5, chunk=25,
+        tag="marg",
+    )
+
+    # --- latent-f leg (BASELINE.md config shape), honest ESS/s
+    lat_model = gp_regression.make(N, jitter=JITTER)
+    lat = run_leg(
+        lat_model, args, num_chains=32, warm=200, samp=150, depth=6,
+        chunk=10, tag="latent",
+    )
+    # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel)
+    lat_budget_ratio = lat["ess_per_sec"] / (
+        lat["min_ess"] / ((200 + 150) * (2**6 - 1) * 0.5)
+    )
+
+    # --- SMC leg: capability demo with a small particle budget
     t0 = time.perf_counter()
     try:
         sres = smc_tempered(
-            model.logp, jax.random.PRNGKey(2), model.dim, args=(xj, yj),
-            num_particles=32, mutation_steps=1, max_depth=3, dtype=jnp.float32,
+            lat_model.logp, jax.random.PRNGKey(2), lat_model.dim, args=args,
+            num_particles=32, mutation_steps=1, max_depth=3,
+            dtype=jnp.float32,
         )
         smc_stages = int(sres.num_stages)
         smc_wall = time.perf_counter() - t0
-    except Exception:  # worker crash must not void the NUTS result
+    except Exception:  # worker crash must not void the NUTS results
         smc_stages, smc_wall = -1, -1.0
 
     emit(
-        "gp_regression_2k_nuts_min_bulk_ess_per_sec_1chip",
-        eps_s,
+        "gp_regression_2k_marginal_nuts_min_bulk_ess_per_sec_1chip",
+        m["ess_per_sec"],
         "ESS/s",
-        0.025,
+        0.5,
         {
-            "wall_s": round(wall, 2),
-            "chains": num_chains,
-            "min_ess": round(min_ess, 1),
-            "divergence_rate": float(np.asarray(div).mean()),
+            **m,
+            "latent_leg": lat,
+            "latent_vs_baseline": round(lat["ess_per_sec"] / 0.025, 2),
+            "latent_speedup_same_budget_vs_cpu_stan": round(
+                lat_budget_ratio, 1
+            ),
             "smc_stages": smc_stages,
             "smc_wall_s": round(smc_wall, 2),
-            "grad_evals_per_sec": round(leapfrogs / wall, 1),
-            "speedup_same_budget_vs_cpu_stan": round(eps_s / max(cpu_eps_same_budget, 1e-12), 1),
-            "note": "wall includes compile; latent-f GP mixing is slow per draw for ANY sampler -- same-budget speedup is the like-for-like number",
         },
     )
 

@@ -72,6 +72,37 @@ def emit(metric, value, unit, baseline, detail):
     )
 
 
+# v5e peak (datasheet): 197 TFLOP/s bf16; f32 runs as multi-pass on the
+# MXU at ~1/4 of that.  Benches run f32 compute paths unless noted.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_F32 = V5E_PEAK_BF16 / 4.0
+
+
+def compiled_flops(fn, *args):
+    """FLOPs for one execution of jit(fn)(*args) from XLA's cost
+    analysis; None when the backend doesn't expose it (the remote-relay
+    TPU plugin may not)."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def flops_detail(total_flops, wall_s, peak=V5E_PEAK_F32):
+    """{'gflops_per_sec', 'pct_of_peak'} telemetry block (the measured
+    analog of the reference's tuned opencl thresholds,
+    opencl_context.hpp:164-183)."""
+    fps = total_flops / wall_s
+    return {
+        "gflops_per_sec": round(fps / 1e9, 1),
+        "pct_of_f32_peak": round(100.0 * fps / peak, 2),
+    }
+
+
 def min_ess_per_sec(position, wall_s, coords=None):
     from math_tpu.diagnostics import ess_bulk
 

@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from math_tpu import dists, transforms
 from math_tpu.model import make_log_density
 from math_tpu.ops import gp as gp_ops
-from math_tpu.ops.cholesky import cholesky_decompose_tpu
-from math_tpu.ops.linalg import mdivide_left_tri_low
+from math_tpu.ops.cholesky import (
+    cholesky_decompose_tpu,
+    spd_solve_logdiag_tpu,
+)
 
 
 def synthetic_data(n=2000, seed=0, dtype=np.float64):
@@ -77,11 +79,11 @@ def make_marginal(n: int, jitter=1e-3):
             gp_ops.gp_exp_quad_cov(x, alpha, rho),
             jnp.square(sigma) + jitter,
         )
-        L = cholesky_decompose_tpu(k)
-        z = mdivide_left_tri_low(L, y[:, None])[:, 0]
-        lp += -0.5 * jnp.sum(jnp.square(z)) - jnp.sum(
-            jnp.log(jnp.diagonal(L))
-        )
+        # one fused blocked factorization: solve + log-det share the
+        # Pallas block inverses (XLA's chol / triangular_solve compile
+        # pathologically at n ~ 2000 through the remote relay)
+        z, slogdiag = spd_solve_logdiag_tpu(k, y)
+        lp += -0.5 * jnp.sum(jnp.square(z)) - slogdiag
         return lp
 
     return make_log_density(

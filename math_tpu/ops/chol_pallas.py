@@ -44,9 +44,21 @@ from jax.experimental.pallas import tpu as pltpu
 def _chol_inv_kernel(d_ref, u_ref, w_ref, m_ref):
     """U = upper-chol(d) (d = Uᵀ U) and W = U⁻¹ for a (Cb, B, B) batch,
     all blocks resident in VMEM; every sequential step updates the whole
-    batch at once."""
+    batch at once.
+
+    Mosaic constraint: layout inference crashes on rank-1 (Cb,)
+    intermediates (and on the rank-1→rank-3 reshape that ``keepdims``
+    lowers to), so the per-batch pivot/diag reductions are written as
+    broadcast-reduces — masked row × ones(B, B) on the MXU — keeping
+    every value rank-3.  All in-kernel dot_generals pin
+    ``Precision.HIGHEST``: the pivot would otherwise round through bf16
+    and the trailing updates would lose the PSD margin.
+    """
     cb, B, _ = d_ref.shape
+    f32 = lax.Precision.HIGHEST
     lane = lax.broadcasted_iota(jnp.int32, (cb, 1, B), 2)
+    ones_bb = jnp.ones((B, B), dtype=d_ref.dtype)
+    bcast_dn = (((2,), (0,)), ((), ()))  # (Cb,1,B)x(B,B) → (Cb,1,B)
 
     m_ref[:] = d_ref[:]
     u_ref[:] = jnp.zeros((cb, B, B), dtype=d_ref.dtype)
@@ -59,16 +71,26 @@ def _chol_inv_kernel(d_ref, u_ref, w_ref, m_ref):
         row = m_ref[:, pl.ds(k, 1), :]  # (Cb, 1, B)
         # non-PSD pivot → NaN so the factorization (and any logp built on
         # it) signals failure instead of returning finite garbage
-        p2 = jnp.sum(jnp.where(lane == k, row, 0.0), axis=(1, 2))
+        p2 = lax.dot_general(
+            jnp.where(lane == k, row, 0.0),
+            ones_bb,
+            bcast_dn,
+            precision=f32,
+            preferred_element_type=d_ref.dtype,
+        )  # every lane = m[k, k]
         pivot = jnp.where(
             p2 > 0, jnp.sqrt(jnp.where(p2 > 0, p2, 1.0)), jnp.nan
         )
-        urow = jnp.where(lane >= k, row / pivot[:, None, None], 0.0)
+        urow = jnp.where(lane >= k, row / pivot, 0.0)
         u_ref[:, pl.ds(k, 1), :] = urow
         # trailing rank-1 update as a batched (B,1)x(1,B) outer product;
         # urow is zero below k, so it only touches the (i>=k, j>=k) block
         upd = lax.dot_general(
-            urow, urow, outer_dn, preferred_element_type=d_ref.dtype
+            urow,
+            urow,
+            outer_dn,
+            precision=f32,
+            preferred_element_type=d_ref.dtype,
         )
         m_ref[:] = m_ref[:] - upd
         return 0
@@ -78,7 +100,13 @@ def _chol_inv_kernel(d_ref, u_ref, w_ref, m_ref):
     def inv_step(i, _):
         k = B - 1 - i
         urow = u_ref[:, pl.ds(k, 1), :]
-        diag = jnp.sum(jnp.where(lane == k, urow, 0.0), axis=(1, 2))
+        diag = lax.dot_general(
+            jnp.where(lane == k, urow, 0.0),
+            ones_bb,
+            bcast_dn,
+            precision=f32,
+            preferred_element_type=d_ref.dtype,
+        )  # every lane = U[k, k]
         tail = jnp.where(lane > k, urow, 0.0)
         # rows of W below k are already final; rows <= k still zero, and
         # tail is zero there, so the contraction only sees finished rows
@@ -86,10 +114,11 @@ def _chol_inv_kernel(d_ref, u_ref, w_ref, m_ref):
             tail,
             w_ref[:],
             (((2,), (1,)), ((0,), (0,))),
+            precision=f32,
             preferred_element_type=d_ref.dtype,
         )  # (Cb, 1, B)
         ek = jnp.where(lane == k, 1.0, 0.0).astype(w_ref.dtype)
-        w_ref[:, pl.ds(k, 1), :] = (ek - acc) / diag[:, None, None]
+        w_ref[:, pl.ds(k, 1), :] = (ek - acc) / diag
         return 0
 
     lax.fori_loop(0, B, inv_step, 0)
@@ -225,30 +254,22 @@ def _chol_inv_block_bwd(res, cot):
 chol_inv_block.defvjp(_chol_inv_block_fwd, _chol_inv_block_bwd)
 
 
-def cholesky_blocked_pallas(a, block_size: int = 256):
-    """Lower Cholesky factor via Pallas diagonal blocks + MXU updates.
-
-    Same algorithm as ``ops.cholesky.cholesky_blocked`` with the two
-    sequential scans per block fused into one VMEM-resident kernel, and
-    any leading batch (vmapped chains) folded INTO the kernel batch so
-    the latency-bound sequential loop is paid once per step, not once
-    per chain.  Differentiable end-to-end: the block kernel carries a
-    custom VJP and the inter-block glue is plain jnp.
-    """
-    a = jnp.asarray(a)
-    n = a.shape[-1]
-    nb = max(1, -(-n // block_size))
-    npad = nb * block_size - n
+def _pad_spd(a, n, npad):
+    """Zero-pad trailing dims to the block grid, identity on the tail diag."""
     if npad:
         a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, npad), (0, npad)])
         tail = jnp.arange(n, n + npad)
         a = a.at[..., tail, tail].set(1.0)
+    return a
 
-    batch_shape = a.shape[:-2]
-    flat = a.reshape((-1,) + a.shape[-2:]) if batch_shape else a[None]
-    B = block_size
 
+def _chol_blocked_impl(flat, B):
+    """Blocked factorization on a flat (C, N, N) padded batch; returns
+    (L, [W_j]) where W_j = U_j⁻¹ is block j's upper-triangular inverse
+    (saved so the adjoint's triangular solves are pure matmuls)."""
+    nb = flat.shape[-1] // B
     L = jnp.zeros_like(flat)
+    Ws = []
     # full-f32 matmuls: bf16 trailing updates lose the PSD margin and feed
     # negative diagonals into the unblocked factorization
     with jax.default_matmul_precision("float32"):
@@ -257,13 +278,191 @@ def cholesky_blocked_pallas(a, block_size: int = 256):
             prior = L[..., s : s + B, :s]
             d = flat[..., s : s + B, s : s + B] - prior @ _T(prior)
             U, W = chol_inv_block(d)
+            Ws.append(W)
             L = L.at[..., s : s + B, s : s + B].set(_T(U))
             if j + 1 < nb:
                 rows = L[..., s + B :, :s]
                 off = flat[..., s + B :, s : s + B] - rows @ _T(prior)
                 # off @ L_jj⁻ᵀ == off @ W
                 L = L.at[..., s + B :, s : s + B].set(off @ W)
-    L = L.reshape(batch_shape + L.shape[-2:]) if batch_shape else L[0]
+    return L, Ws
+
+
+def _lower_solve_blocks(L, Ws, b, B):
+    """y with L y = b by block forward substitution; L_jj⁻¹ = W_jᵀ."""
+    y = jnp.zeros_like(b)
+    for j in range(len(Ws)):
+        s = j * B
+        rhs = b[..., s : s + B, :] - L[..., s : s + B, :s] @ y[..., :s, :]
+        y = y.at[..., s : s + B, :].set(_T(Ws[j]) @ rhs)
+    return y
+
+
+def _upper_solve_blocks(L, Ws, b, B):
+    """y with Lᵀ y = b by block back substitution; (Lᵀ)_jj⁻¹ = W_j."""
+    y = jnp.zeros_like(b)
+    for j in reversed(range(len(Ws))):
+        s = j * B
+        rhs = b[..., s : s + B, :] - _T(L[..., s + B :, s : s + B]) @ y[
+            ..., s + B :, :
+        ]
+        y = y.at[..., s : s + B, :].set(Ws[j] @ rhs)
+    return y
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _chol_blocked_vjp(a, n, block_size):
+    flat, batch_shape, _ = _flatten_pad(a, n, block_size)
+    L, _ = _chol_blocked_impl(flat, block_size)
+    return _unflatten_unpad(L, batch_shape, n)
+
+
+def _flatten_pad(a, n, B):
+    nb = max(1, -(-n // B))
+    npad = nb * B - n
+    a = _pad_spd(a, n, npad)
+    batch_shape = a.shape[:-2]
+    flat = a.reshape((-1,) + a.shape[-2:]) if batch_shape else a[None]
+    return flat, batch_shape, npad
+
+
+def _unflatten_unpad(x, batch_shape, n):
+    x = x.reshape(batch_shape + x.shape[-2:]) if batch_shape else x[0]
+    return x[..., :n, :n]
+
+
+def _chol_blocked_fwd(a, n, block_size):
+    flat, batch_shape, _ = _flatten_pad(a, n, block_size)
+    L, Ws = _chol_blocked_impl(flat, block_size)
+    return _unflatten_unpad(L, batch_shape, n), (L, Ws)
+
+
+def _chol_blocked_bwd(n, block_size, res, lbar):
+    """Murray's level-3 Cholesky adjoint, Ā = ½(G + Gᵀ) with
+    G = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ (arXiv:1602.07527 eq. 8), using the block
+    inverses saved from the forward so both triangular solves are block
+    substitutions of plain MXU matmuls.  Replaces tracing back through
+    the factorization loop (measured 18x slower at n=2000, C=8, v5e).
+    ref: rev/mat/fun/cholesky_decompose.hpp (blocked reverse sweep).
+    """
+    L, Ws = res
+    B = block_size
+    N = L.shape[-1]
+    batch_shape = lbar.shape[:-2]
+    lbar = jnp.tril(lbar)
+    if N > n:
+        lbar = jnp.pad(
+            lbar, [(0, 0)] * (lbar.ndim - 2) + [(0, N - n), (0, N - n)]
+        )
+    flat_bar = (
+        lbar.reshape((-1,) + lbar.shape[-2:]) if batch_shape else lbar[None]
+    )
+    with jax.default_matmul_precision("float32"):
+        P = _phi(_T(L) @ flat_bar)
+        X = _upper_solve_blocks(L, Ws, P, B)  # L⁻ᵀ P
+        G = _T(_upper_solve_blocks(L, Ws, _T(X), B))  # (L⁻ᵀ Xᵀ)ᵀ = X L⁻¹
+        abar = 0.5 * (G + _T(G))
+    return (_unflatten_unpad(abar, batch_shape, n),)
+
+
+_chol_blocked_vjp.defvjp(_chol_blocked_fwd, _chol_blocked_bwd)
+
+
+def _masked_diag(m):
+    """Diagonal via masked row-sum (jnp.diagonal's VJP is a serialized
+    TPU scatter; this form's is a broadcast multiply)."""
+    return jnp.sum(m * jnp.eye(m.shape[-1], dtype=m.dtype), axis=-1)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _chol_solve_logdiag(a, b, n, block_size):
+    y, s = _csl_fwd(a, b, n, block_size)[0]
+    return y, s
+
+
+def _csl_fwd(a, b, n, block_size):
+    flat_a, batch_shape, npad = _flatten_pad(a, n, block_size)
+    L, Ws = _chol_blocked_impl(flat_a, block_size)
     if npad:
-        L = L[..., :n, :n]
-    return L
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, npad), (0, 0)])
+    flat_b = (
+        b.reshape((-1,) + b.shape[-2:]) if batch_shape else b[None]
+    )
+    with jax.default_matmul_precision("float32"):
+        y = _lower_solve_blocks(L, Ws, flat_b, block_size)
+    # padded tail has unit diagonal -> log contributes exactly 0
+    s = jnp.sum(jnp.log(_masked_diag(L)), axis=-1)
+    y_out = y.reshape(batch_shape + y.shape[-2:])[..., :n, :]
+    s_out = s.reshape(batch_shape)
+    return (y_out, s_out), (L, Ws, y)
+
+
+def _csl_bwd(n, block_size, res, cots):
+    """Joint adjoint of (y = L⁻¹ b, s = Σ log L_ii) wrt the SPD input:
+    b̄ = L⁻ᵀ ȳ;  L̄ = tril(−b̄ yᵀ) + diag(s̄ / L_ii);  then Murray's
+    Ā = ½(G + Gᵀ), G = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ — all block substitutions with
+    the inverses saved from the forward.  ref: the composition of
+    rev/mat/fun/{cholesky_decompose,mdivide_left_tri,log}.hpp varis."""
+    L, Ws, y = res
+    ybar, sbar = cots
+    B = block_size
+    N = L.shape[-1]
+    batch_shape = ybar.shape[:-2]
+    if N > n:
+        ybar = jnp.pad(ybar, [(0, 0)] * (ybar.ndim - 2) + [(0, N - n), (0, 0)])
+    flat_ybar = (
+        ybar.reshape((-1,) + ybar.shape[-2:]) if batch_shape else ybar[None]
+    )
+    flat_sbar = sbar.reshape((-1,))
+    with jax.default_matmul_precision("float32"):
+        bbar = _upper_solve_blocks(L, Ws, flat_ybar, B)
+        eye = jnp.eye(N, dtype=L.dtype)
+        lbar = jnp.tril(-(bbar @ _T(y))) + (
+            flat_sbar[:, None] / _masked_diag(L)
+        )[..., None] * eye
+        P = _phi(_T(L) @ lbar)
+        X = _upper_solve_blocks(L, Ws, P, B)
+        G = _T(_upper_solve_blocks(L, Ws, _T(X), B))
+        abar = 0.5 * (G + _T(G))
+    abar = _unflatten_unpad(abar, batch_shape, n)
+    bbar = bbar.reshape(batch_shape + bbar.shape[-2:])[..., :n, :]
+    return abar, bbar
+
+
+_chol_solve_logdiag.defvjp(
+    lambda a, b, n, bs: _csl_fwd(a, b, n, bs), _csl_bwd
+)
+
+
+def cholesky_solve_logdiag_pallas(a, b, block_size: int = 256):
+    """(L⁻¹ b, Σ log L_ii) with L = chol(a), in ONE blocked factorization:
+    the Pallas block kernel's triangular inverses are reused for the
+    solve (no extra substitution scans) and for every triangular solve
+    in the joint adjoint.  This is the whole O(n³) part of a
+    multi-normal / marginal-GP log density.  b: (..., n) or (..., n, m).
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    y, s = _chol_solve_logdiag(a, b, a.shape[-1], block_size)
+    return (y[..., 0] if vec else y), s
+
+
+def cholesky_blocked_pallas(a, block_size: int = 256):
+    """Lower Cholesky factor via Pallas diagonal blocks + MXU updates.
+
+    Same algorithm as ``ops.cholesky.cholesky_blocked`` with the two
+    sequential scans per block fused into one VMEM-resident kernel, and
+    any leading batch (vmapped chains) folded INTO the kernel batch so
+    the latency-bound sequential loop is paid once per step, not once
+    per chain.  Differentiable end-to-end via the blocked Murray adjoint
+    (``_chol_blocked_bwd``); gradient convention matches XLA's cholesky
+    through any symmetric construction of ``a``.
+    """
+    a = jnp.asarray(a)
+    return _chol_blocked_vjp(a, a.shape[-1], block_size)

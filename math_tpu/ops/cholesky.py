@@ -116,6 +116,136 @@ def cholesky_blocked(a, block_size: int = 256):
     return L
 
 
+def _tri_solve_impl(L, b, B):
+    """Blocked forward substitution on padded operands; also returns the
+    per-block triangular inverses so the adjoint's upper solve is pure
+    matmuls."""
+    nb = L.shape[-1] // B
+    y = jnp.zeros_like(b)
+    winvs = []
+    with jax.default_matmul_precision("float32"):
+        for j in range(nb):
+            s = j * B
+            rhs = b[..., s : s + B, :] - L[..., s : s + B, :s] @ y[..., :s, :]
+            winv = _tri_inv_unblocked(L[..., s : s + B, s : s + B])
+            winvs.append(winv)
+            y = y.at[..., s : s + B, :].set(winv @ rhs)
+    return y, winvs
+
+
+def _tri_upper_solve_winv(L, winvs, b, B):
+    """x with Lᵀ x = b by block back substitution, (Lᵀ)_jj⁻¹ = winv_jᵀ."""
+    sw = lambda m: jnp.swapaxes(m, -1, -2)
+    x = jnp.zeros_like(b)
+    with jax.default_matmul_precision("float32"):
+        for j in reversed(range(len(winvs))):
+            s = j * B
+            rhs = b[..., s : s + B, :] - sw(L[..., s + B :, s : s + B]) @ x[
+                ..., s + B :, :
+            ]
+            x = x.at[..., s : s + B, :].set(sw(winvs[j]) @ rhs)
+    return x
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tri_solve_vjp(L, b, B):
+    return _tri_solve_impl(L, b, B)[0]
+
+
+def _tri_solve_fwd(L, b, B):
+    y, winvs = _tri_solve_impl(L, b, B)
+    return y, (L, y, winvs)
+
+
+def _tri_solve_bwd(B, res, g):
+    """Adjoint of y = L⁻¹ b: b̄ = L⁻ᵀ ȳ (block upper solve with the saved
+    inverses), L̄ = tril(−b̄ yᵀ).  Tracing back through the substitution
+    loop instead is the same 18x-slower pattern as the Cholesky glue
+    (see chol_pallas._chol_blocked_bwd)."""
+    L, y, winvs = res
+    bbar = _tri_upper_solve_winv(L, winvs, g, B)
+    with jax.default_matmul_precision("float32"):
+        lbar = -(bbar @ jnp.swapaxes(y, -1, -2))
+    return jnp.tril(lbar), bbar
+
+
+_tri_solve_vjp.defvjp(_tri_solve_fwd, _tri_solve_bwd)
+
+
+def mdivide_left_tri_low_blocked(L, b, block_size: int = 256):
+    """L^{-1} b for lower-triangular L via blocked forward substitution.
+
+    Same motivation as ``cholesky_blocked``: XLA:TPU's triangular_solve
+    lowering compiles pathologically at n ~ 2000 through the remote
+    relay; this formulation is nb small triangular inverses (scan) plus
+    MXU matmuls and compiles in seconds, with a block-substitution
+    adjoint.  ref: mdivide_left_tri_low.hpp.
+    """
+    L = jnp.asarray(L)
+    b = jnp.asarray(b)
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    n = L.shape[-1]
+    nb = max(1, -(-n // block_size))
+    npad = nb * block_size - n
+    if npad:
+        L = jnp.pad(L, [(0, 0)] * (L.ndim - 2) + [(0, npad), (0, npad)])
+        tail = jnp.arange(n, n + npad)
+        L = L.at[..., tail, tail].set(1.0)
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, npad), (0, 0)])
+    y = _tri_solve_vjp(L, b, block_size)
+    if npad:
+        y = y[..., :n, :]
+    return y[..., 0] if vec else y
+
+
+def mdivide_left_tri_low_tpu(L, b, threshold: int | None = None,
+                             block_size: int | None = None):
+    """Size-dispatched lower-triangular solve: XLA's lowering below the
+    blocked-cholesky threshold, the blocked substitution above it (the
+    same compile-pathology dispatch as ``cholesky_decompose_tpu``)."""
+    from math_tpu.config import get_config
+
+    th = get_config().thresholds
+    threshold = th.cholesky_blocked_min_dim if threshold is None else threshold
+    block_size = th.cholesky_block_size if block_size is None else block_size
+    n = jnp.shape(L)[-1]
+    if n >= threshold:
+        return mdivide_left_tri_low_blocked(L, b, block_size=block_size)
+    import jax.scipy.linalg as jsl
+
+    return jsl.solve_triangular(L, b, lower=True)
+
+
+def spd_solve_logdiag_tpu(a, b, threshold: int | None = None,
+                          block_size: int | None = None):
+    """(chol(a)⁻¹ b, Σ log diag chol(a)) — the O(n³) core of a
+    multi-normal / marginal-GP log density, size-dispatched: XLA
+    lowerings below the blocked threshold, the fused Pallas blocked
+    factorization (block inverses reused for the solve and the joint
+    adjoint) above it.  ref: multi_normal_lpdf.hpp's LDLT reuse."""
+    from math_tpu.config import get_config
+
+    th = get_config().thresholds
+    threshold = th.cholesky_blocked_min_dim if threshold is None else threshold
+    block_size = th.cholesky_block_size if block_size is None else block_size
+    n = jnp.shape(a)[-1]
+    if n >= threshold:
+        from math_tpu.ops.chol_pallas import cholesky_solve_logdiag_pallas
+
+        return cholesky_solve_logdiag_pallas(a, b, block_size=block_size)
+    import jax.scipy.linalg as jsl
+
+    L = jnp.linalg.cholesky(a)
+    y = jsl.solve_triangular(L, b, lower=True)
+    s = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return y, s
+
+
 def cholesky_decompose_tpu(a, threshold: int | None = None, block_size: int | None = None):
     """Size-dispatched Cholesky: XLA's lowering below ``threshold``, the
     scan-blocked factorization above it (≙ the reference's
@@ -129,8 +259,10 @@ def cholesky_decompose_tpu(a, threshold: int | None = None, block_size: int | No
     n = jnp.shape(a)[-1]
     if n >= threshold:
         if jax.default_backend() == "tpu":
-            # VMEM-resident diagonal-block kernel: ~30 ms fwd+VJP at n=2000
-            # vs ~100 ms for the scan formulation (and no interpret penalty)
+            # VMEM-resident diagonal-block kernel with chain batching +
+            # blocked Murray adjoint: 34 ms fwd+VJP at n=2000 C=8, 123 ms
+            # at C=32 (3.8 ms/chain) vs ~100 ms/chain for the scan
+            # formulation (v5e, r3; and no interpret penalty)
             from math_tpu.ops.chol_pallas import cholesky_blocked_pallas
 
             return cholesky_blocked_pallas(a, block_size=block_size)

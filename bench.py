@@ -87,6 +87,19 @@ def main():
 
     n_grad = int(np.asarray(res.n_leapfrog).sum()) * 1  # sampling phase only
     grad_per_sec = n_grad / dt
+    # FLOP telemetry (VERDICT r2 #3): eight-schools is a 10-dim VPU/latency
+    # bound posterior — FLOP/s is reported for completeness, the honest
+    # utilization metric here is grad-evals/s
+    from benches.common import flops_detail, leapfrog_flops
+
+    fpg = leapfrog_flops(
+        lambda z: jax.vmap(jax.value_and_grad(model.logp))(z), z0
+    )
+    tele = (
+        flops_detail(fpg * n_grad * (1.0 + num_warmup / num_samples), dt)
+        if fpg
+        else {}
+    )
 
     baseline_cpu_stan = 2500.0  # ESS/s, documented estimate (see docstring)
     out = {
@@ -99,6 +112,8 @@ def main():
             "chains": num_chains,
             "min_ess": round(min_ess, 1),
             "grad_evals_per_sec_sampling": round(grad_per_sec, 0),
+            "flops_per_grad_eval": fpg,
+            **tele,
             "divergence_rate": float(np.asarray(res.diverging).mean()),
         },
     }

@@ -11,7 +11,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from benches.common import emit, min_ess_per_sec, timed
+from benches.common import (
+    emit,
+    flops_detail,
+    leapfrog_flops,
+    min_ess_per_sec,
+    timed,
+)
 from math_tpu.infer.pooled import run_pooled_chains
 from math_tpu.models import glm_logistic
 
@@ -38,7 +44,16 @@ def main():
     )
     wall, res = timed(run, keys, z0, X, y)
     min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(6))
-    grads = int(np.asarray(res.n_leapfrog).sum())
+    grads = int(np.asarray(res.n_leapfrog).sum())  # sampling window only
+    fpg = leapfrog_flops(
+        lambda z: jax.vmap(jax.value_and_grad(lambda q: model.logp(q, X, y)))(z),
+        z0,
+    )
+    # the timed wall includes warmup; scale sampled leapfrogs to the full
+    # window for the FLOP/s estimate
+    tele = (
+        flops_detail(fpg * grads * (1.0 + warm / samp), wall) if fpg else {}
+    )
     beta_err = float(
         np.abs(
             np.asarray(res.position[:, samp // 2 :, 1:]).reshape(-1, 50).mean(0)
@@ -55,6 +70,8 @@ def main():
             "chains": num_chains,
             "min_ess": round(min_ess, 1),
             "grad_evals_per_sec": round(grads / wall, 0),
+            "flops_per_grad_eval": fpg,
+            **tele,
             "beta_max_abs_err": round(beta_err, 4),
             "divergence_rate": float(np.asarray(res.diverging).mean()),
         },

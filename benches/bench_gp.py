@@ -76,7 +76,12 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag):
     )
     wall = time.perf_counter() - t0
     min_ess, eps_s = min_ess_per_sec(pos, wall, coords=range(3))
-    leapfrogs = (warm + samp) * (2**depth - 1) * num_chains  # upper bound
+    # measured sampling-phase leapfrogs, scaled to the full (warmup
+    # included) wall window for the throughput estimate
+    leapfrogs = info["n_leapfrog"] * (1.0 + warm / samp)
+    # per-leapfrog flops per chain: batched chol fwd n^3/3 + Murray-blocked
+    # adjoint ~4 n^3 (P matmul + two block solves); kernel matrix ~ O(n^2)
+    flops = leapfrogs * (N**3 / 3 + 4 * N**3)
     return {
         "wall_s": round(wall, 2),
         "chains": num_chains,
@@ -84,11 +89,7 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag):
         "ess_per_sec": round(eps_s, 4),
         "divergence_rate": float(np.asarray(div).mean()),
         "grad_evals_per_sec": round(leapfrogs / wall, 1),
-        # per-leapfrog flops: batched chol fwd n^3/3 + Murray-blocked
-        # adjoint ~4 n^3 (P matmul + two block solves) per chain
-        "gflops_per_sec": round(
-            leapfrogs * (N**3 / 3 + 4 * N**3) / wall / 1e9, 1
-        ),
+        "gflops_per_sec": round(flops / wall / 1e9, 1),
     }
 
 

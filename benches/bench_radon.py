@@ -9,7 +9,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from benches.common import emit, min_ess_per_sec, timed
+from benches.common import (
+    emit,
+    flops_detail,
+    leapfrog_flops,
+    min_ess_per_sec,
+    timed,
+)
 from math_tpu.infer.advi import advi
 from math_tpu.infer.pooled import run_pooled_chains
 from math_tpu.models import radon
@@ -37,6 +43,16 @@ def main():
     )
     wall, res = timed(run, keys, z0, *args)
     min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(5))
+    grads = int(np.asarray(res.n_leapfrog).sum())  # sampling window only
+    fpg = leapfrog_flops(
+        lambda z: jax.vmap(
+            jax.value_and_grad(lambda q: model.logp(q, *args))
+        )(z),
+        z0,
+    )
+    tele = (
+        flops_detail(fpg * grads * (1.0 + warm / samp), wall) if fpg else {}
+    )
 
     # ADVI leg (same model): report ELBO optimization throughput
     import time
@@ -57,6 +73,9 @@ def main():
             "wall_s": round(wall, 2),
             "chains": num_chains,
             "min_ess": round(min_ess, 1),
+            "grad_evals_per_sec": round(grads / wall, 0),
+            "flops_per_grad_eval": fpg,
+            **tele,
             "divergence_rate": float(np.asarray(res.diverging).mean()),
             "advi_steps_per_sec": round(2000 / advi_wall, 0),
             "advi_final_elbo": round(float(ares.final_elbo), 2),

@@ -92,6 +92,38 @@ def compiled_flops(fn, *args):
         return None
 
 
+def leapfrog_flops(logp_vg, *args):
+    """FLOPs of ONE chain-batched value+grad of the log density — the
+    mathematical flop count of a leapfrog gradient — from XLA's CPU cost
+    analysis with Pallas/blocked dispatch disabled (CPU compiles the
+    plain formulation; flop counts are backend-independent).  None if
+    cost analysis is unavailable."""
+    import dataclasses
+
+    from math_tpu.config import get_config, update_config
+
+    th0 = get_config().thresholds
+    update_config(
+        thresholds=dataclasses.replace(
+            th0,
+            glm_pallas_min_rows=1 << 60,
+            cholesky_blocked_min_dim=1 << 60,
+        )
+    )
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            c = jax.jit(logp_vg).lower(*args).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+    finally:
+        update_config(thresholds=th0)
+
+
 def flops_detail(total_flops, wall_s, peak=V5E_PEAK_F32):
     """{'gflops_per_sec', 'pct_of_peak'} telemetry block (the measured
     analog of the reference's tuned opencl thresholds,

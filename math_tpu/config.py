@@ -23,14 +23,32 @@ class KernelThresholds:
     (cholesky_size_worth_transfer=1250 etc.) — defaults chosen by
     benchmarking on TPU v5e; override per deployment.
 
-    Measured (v5e, 100k x 50 logistic, f32): the fused Pallas GLM kernel
-    (single X read) beats XLA's two-pass value_and_grad once the chain
-    batch C reaches ~128 (26% faster at C=512); below that XLA's fusion
-    wins, so the default dispatch requires both thresholds.
+    Measured (v5e, 100k rows x 50 features, f32, value+grad in a scan
+    loop, r3): the fused single-X-read Pallas GLM kernels beat XLA's
+    fused value_and_grad above a per-family chain count — XLA
+    materializes the (N, C) eta several times, the kernel keeps it in
+    VMEM, so the crossover tracks each family's VPU cost per eta
+    element: bernoulli 1.07x @128 / 1.09x @512; poisson 1.04x @128 /
+    1.37x @512; normal LOSES until C=512 (0.91x @128, 1.32x @512);
+    neg_binomial_2 wins from C=32 (1.08x) to 512 (1.18x); ordered
+    (5 categories) wins 2.1x @32 to 3.9x @512 and categorical (5
+    classes) 6.0x @32 to 8.8x @512 — their XLA paths materialize (N, C)
+    link terms per category/class.  Below its threshold each family
+    keeps the XLA path (that is also an answer).
     """
 
     glm_pallas_min_rows: int = 10_000
-    glm_pallas_min_chains: int = 128
+    glm_pallas_min_chains: int = 128  # fallback for unlisted families
+    glm_pallas_min_chains_per_family: dict = dataclasses.field(
+        default_factory=lambda: {
+            "bernoulli_logit": 128,
+            "poisson_log": 128,
+            "normal_id": 512,
+            "neg_binomial_2_log": 32,
+            "ordered_logistic": 32,
+            "categorical_logit": 32,
+        }
+    )
     glm_pallas_block_rows: int = 1024
     cholesky_pallas_min_dim: int = 1 << 62  # XLA's blocked cholesky wins so far
     # scan-blocked cholesky (ops/cholesky.py): XLA's chol VJP *compiles*

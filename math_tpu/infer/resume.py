@@ -153,10 +153,12 @@ def _sample_chunk(logdensity_fn, states, eps, inv_mass, keys, chunk, max_depth):
             state, key = carry
             key, k = jax.random.split(key)
             state, stats = nuts_kernel(k, state, logp_grad, e, im, max_depth)
-            return (state, key), (state.z, stats.diverging)
+            return (state, key), (state.z, stats.diverging, stats.n_leapfrog)
 
-        (state, key), (zs, div) = jax.lax.scan(step, (state, key), None, length=chunk)
-        return state, key, zs, div
+        (state, key), (zs, div, nlf) = jax.lax.scan(
+            step, (state, key), None, length=chunk
+        )
+        return state, key, zs, div, nlf
 
     return jax.vmap(one)(states, eps, inv_mass, keys)
 
@@ -276,11 +278,13 @@ def sample_nuts_checkpointed(
         store = DrawStore(draw_store_path, num_chains, dim,
                           np.dtype(np.float64) if dtype == jnp.float64 else np.float32)
 
+    n_leapfrog = 0
     while done < num_samples:
         n = min(chunk_size, num_samples - done)
-        states, keys, zs, div = chunk_fn(states, eps, inv_mass, keys)
+        states, keys, zs, div, nlf = chunk_fn(states, eps, inv_mass, keys)
         zs = np.asarray(zs)[:, :n]
         div = np.asarray(div)[:, :n]
+        n_leapfrog += int(np.asarray(nlf)[:, :n].sum())
         draws.append(zs)
         divs.append(div)
         done += n
@@ -309,6 +313,9 @@ def sample_nuts_checkpointed(
     info = {
         "step_size": np.asarray(eps),
         "inv_mass": np.asarray(inv_mass),
+        # sampling-phase leapfrogs executed THIS process (telemetry only;
+        # not checkpointed, so a resumed run counts from its restart)
+        "n_leapfrog": n_leapfrog,
         "resumed": checkpoint_exists(checkpoint_path),
     }
     return positions, diverging, info

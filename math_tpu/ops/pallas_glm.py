@@ -362,12 +362,26 @@ def _softplus(t):
     return jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t)))
 
 
+def _expm1_mosaic(t):
+    """expm1 without the expm1 primitive (Mosaic TPU has no lowering for
+    it): 6-term Maclaurin for |t| < 0.25 — truncation < 5e-8 relative —
+    and exp(t) - 1 elsewhere, where cancellation costs < 3 ulp in f32."""
+    small = jnp.abs(t) < 0.25
+    ts = jnp.where(small, t, 0.0)
+    p = ts * (
+        1.0
+        + ts / 2.0
+        * (1.0 + ts / 3.0 * (1.0 + ts / 4.0 * (1.0 + ts / 5.0 * (1.0 + ts / 6.0))))
+    )
+    return jnp.where(small, p, jnp.exp(t) - 1.0)
+
+
 def _log1m_exp(t):
     """log(1 - exp(t)) for t <= 0 (ref: log1m_exp.hpp's two-branch form)."""
     t = jnp.minimum(t, -1e-20)
     return jnp.where(
         t > -0.693147,  # ln 2
-        jnp.log(-jnp.expm1(t)),
+        jnp.log(-_expm1_mosaic(t)),
         jnp.log1p(-jnp.exp(jnp.maximum(t, -80.0))),
     )
 
@@ -562,7 +576,11 @@ def _categorical_kernel(n_rows_ref, y_ref, x_ref, a_ref, b_ref, lp_ref,
         ga_ref[...] = jnp.zeros_like(ga_ref)
         gb_ref[...] = jnp.zeros_like(gb_ref)
 
-    lp_ref[...] += jnp.sum(lp)[None, None]
+    # lp block is (1, 1, K): accumulate the row sum into lane 0 (Mosaic's
+    # tile rule wants the last two block dims to equal the array's, so a
+    # (1, 1)-on-(C, 1) output is not expressible; (C, 1, K) is)
+    kk0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, thetap.shape[1]), 2)
+    lp_ref[...] += jnp.where(kk0 == 0, jnp.sum(lp), 0.0)
     ga_ref[...] += jnp.sum(thetap, axis=0, keepdims=True)[None]
     gb_ref[...] += gb_tile[None]
 
@@ -593,13 +611,13 @@ def _categorical_forward(y, x, alpha, beta, *, interpret=False):
                 pl.BlockSpec((1, d, k), lambda ci, i, *_: (ci, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1), lambda ci, i, *_: (ci, 0)),
+                pl.BlockSpec((1, 1, k), lambda ci, i, *_: (ci, 0, 0)),
                 pl.BlockSpec((1, 1, k), lambda ci, i, *_: (ci, 0, 0)),
                 pl.BlockSpec((1, d, k), lambda ci, i, *_: (ci, 0, 0)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, k), jnp.float32),
             jax.ShapeDtypeStruct((c, 1, k), jnp.float32),
             jax.ShapeDtypeStruct((c, d, k), jnp.float32),
         ],
@@ -612,7 +630,7 @@ def _categorical_forward(y, x, alpha, beta, *, interpret=False):
         beta.astype(jnp.float32),
     )
     logp, ga, gb = outs
-    return logp[:, 0], ga[:, 0, :], gb
+    return logp[:, 0, 0], ga[:, 0, :], gb
 
 
 def _categorical_eta_partials(y, x, alpha, beta):
@@ -665,17 +683,20 @@ categorical_logit_glm_fused.defvjp(
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas(x, beta):
+def _use_pallas(x, beta, family=None):
     from math_tpu.config import get_config
 
     th = get_config().thresholds
     n, _ = x.shape
     c = beta.shape[1]
-    return n >= th.glm_pallas_min_rows and c >= th.glm_pallas_min_chains
+    min_c = th.glm_pallas_min_chains_per_family.get(
+        family, th.glm_pallas_min_chains
+    )
+    return n >= th.glm_pallas_min_rows and c >= min_c
 
 
 def bernoulli_logit_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
-    if _use_pallas(x, beta):
+    if _use_pallas(x, beta, "bernoulli_logit"):
         return bernoulli_logit_glm_fused(y, x, alpha, beta, interpret)
     eta = x @ beta + alpha[None, :]  # (N, C)
     sign = 2.0 * y[:, None] - 1.0
@@ -683,14 +704,14 @@ def bernoulli_logit_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
 
 
 def poisson_log_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
-    if _use_pallas(x, beta):
+    if _use_pallas(x, beta, "poisson_log"):
         return poisson_log_glm_fused(y, x, alpha, beta, interpret)
     eta = x @ beta + alpha[None, :]
     return jnp.sum(y[:, None] * eta - jnp.exp(eta), axis=0)
 
 
 def normal_id_glm_lpdf_chains(y, x, alpha, beta, sigma, *, interpret=False):
-    if _use_pallas(x, beta):
+    if _use_pallas(x, beta, "normal_id"):
         return normal_id_glm_fused(y, x, alpha, beta, sigma, interpret)
     n = y.shape[0]
     eta = x @ beta + alpha[None, :]
@@ -699,7 +720,7 @@ def normal_id_glm_lpdf_chains(y, x, alpha, beta, sigma, *, interpret=False):
 
 
 def neg_binomial_2_log_glm_lpmf_chains(y, x, alpha, beta, phi, *, interpret=False):
-    if _use_pallas(x, beta):
+    if _use_pallas(x, beta, "neg_binomial_2_log"):
         return neg_binomial_2_log_glm_fused(y, x, alpha, beta, phi, interpret)
     n = y.shape[0]
     eta = x @ beta + alpha[None, :]
@@ -715,7 +736,7 @@ def ordered_logistic_glm_lpmf_chains(y, x, beta, cuts, *, interpret=False):
     """y (N,) int 1..K, x (N, D), beta (D, C), cuts (K-1, C) -> (C,).
     Assumes valid data (like the other chains dispatchers); mirrors
     dists.ordered_logistic_glm_lpmf(..., propto=True) per chain."""
-    if _use_pallas(x, beta):
+    if _use_pallas(x, beta, "ordered_logistic"):
         return ordered_logistic_glm_fused(y, x, beta, cuts, interpret)
     eta = x @ beta  # (N, C)
     kc = cuts.shape[0]
@@ -736,7 +757,10 @@ def categorical_logit_glm_lpmf_chains(y, x, alpha, beta, *, interpret=False):
     from math_tpu.config import get_config
 
     th = get_config().thresholds
-    if n >= th.glm_pallas_min_rows and c >= th.glm_pallas_min_chains:
+    min_c = th.glm_pallas_min_chains_per_family.get(
+        "categorical_logit", th.glm_pallas_min_chains
+    )
+    if n >= th.glm_pallas_min_rows and c >= min_c:
         return categorical_logit_glm_fused(y, x, alpha, beta, interpret)
     eta = jnp.einsum("nd,cdk->cnk", x, beta) + alpha[:, None, :]
     logsm = jax.nn.log_softmax(eta, axis=-1)

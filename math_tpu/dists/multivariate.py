@@ -56,7 +56,39 @@ def multi_normal_cholesky_lpdf(y, mu, L, *, propto=False):
 
 
 def multi_normal_lpdf(y, mu, sigma, *, propto=False):
-    L = jnp.linalg.cholesky(jnp.asarray(sigma, fdtype(sigma)))
+    """MVN density (ref: multi_normal_lpdf.hpp).
+
+    Above ``KernelThresholds.cholesky_blocked_min_dim`` the O(k³)
+    solve+log-det runs through the fused blocked factorization
+    (``ops.cholesky.spd_solve_logdiag_tpu``) — XLA:TPU's native
+    cholesky/triangular_solve lowerings compile pathologically there."""
+    dt = fdtype(y, mu, sigma)
+    sigma_a = jnp.asarray(sigma, dt)
+    from math_tpu.config import get_config
+
+    th = get_config().thresholds
+    if (
+        sigma_a.ndim == 2
+        and sigma_a.shape[-1] >= th.cholesky_blocked_min_dim
+    ):
+        from math_tpu.ops.cholesky import spd_solve_logdiag_tpu
+
+        y_a = jnp.asarray(y, dt)
+        mu_a = jnp.asarray(mu, dt)
+        k = sigma_a.shape[-1]
+        diff = y_a - mu_a
+        diff2 = diff.reshape(-1, k) if diff.ndim > 1 else diff[None]
+        z, slogdiag = spd_solve_logdiag_tpu(sigma_a, diff2.T)
+        nbatch = diff2.shape[0]
+        lp = jnp.zeros((), dt)
+        if include_summand(propto, y, mu, sigma):
+            lp = lp - 0.5 * jnp.sum(jnp.square(z))
+        if include_summand(propto, sigma):
+            lp = lp - nbatch * slogdiag  # = -nbatch/2 * log|Sigma|
+        if include_summand(propto):
+            lp = lp - 0.5 * k * nbatch * LOG_TWO_PI
+        return lp
+    L = jnp.linalg.cholesky(sigma_a)
     return multi_normal_cholesky_lpdf(y, mu, L, propto=propto)
 
 

@@ -242,6 +242,44 @@ def test_fused_chol_solve_logdiag():
     np.testing.assert_allclose(np.asarray(sv), np.asarray(sdv), rtol=1e-9)
 
 
+def test_multi_normal_blocked_dispatch():
+    """multi_normal_lpdf's blocked branch matches the XLA branch in value
+    and gradient (single row and row batch)."""
+    from math_tpu import dists
+    from math_tpu.config import get_config, update_config
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    k = 40
+    A = rng.normal(size=(k, k))
+    sigma = jnp.asarray(A @ A.T + k * np.eye(k))
+    mu = jnp.asarray(rng.normal(size=k))
+    y1 = jnp.asarray(rng.normal(size=k))
+    yb = jnp.asarray(rng.normal(size=(3, k)))
+
+    th0 = get_config().thresholds
+    try:
+        for y in (y1, yb):
+            update_config(thresholds=dataclasses.replace(
+                th0, cholesky_blocked_min_dim=1 << 60))
+            ref_v = float(dists.multi_normal_lpdf(y, mu, sigma))
+            ref_g = jax.grad(
+                lambda s: dists.multi_normal_lpdf(y, mu, 0.5 * (s + s.T))
+            )(sigma)
+            update_config(thresholds=dataclasses.replace(
+                th0, cholesky_blocked_min_dim=1, cholesky_block_size=16))
+            blk_v = float(dists.multi_normal_lpdf(y, mu, sigma))
+            blk_g = jax.grad(
+                lambda s: dists.multi_normal_lpdf(y, mu, 0.5 * (s + s.T))
+            )(sigma)
+            np.testing.assert_allclose(blk_v, ref_v, rtol=1e-10)
+            np.testing.assert_allclose(
+                np.asarray(blk_g), np.asarray(ref_g), rtol=1e-8, atol=1e-10
+            )
+    finally:
+        update_config(thresholds=th0)
+
+
 def test_masked_diagonal():
     from math_tpu.ops.linalg import masked_diagonal
 

@@ -40,11 +40,29 @@ def _init_bad_mask(logdensity_fn, init, args=()):
     except RuntimeError:
         cpu = None  # platform pinned (e.g. JAX_PLATFORMS=axon); probe on it
     if cpu is not None:
-        with jax.default_device(cpu):
-            args_h = jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), cpu), tuple(args)
+        # plain-XLA paths only: the TPU Pallas kernels behind the
+        # threshold dispatchers cannot compile on the CPU probe backend,
+        # and one finiteness evaluation doesn't need them
+        import dataclasses
+
+        from math_tpu.config import get_config, update_config
+
+        th0 = get_config().thresholds
+        update_config(
+            thresholds=dataclasses.replace(
+                th0,
+                glm_pallas_min_rows=1 << 60,
+                cholesky_blocked_min_dim=1 << 60,
             )
-            lp, grad = jax.jit(probe)(jax.device_put(init, cpu), args_h)
+        )
+        try:
+            with jax.default_device(cpu):
+                args_h = jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x), cpu), tuple(args)
+                )
+                lp, grad = jax.jit(probe)(jax.device_put(init, cpu), args_h)
+        finally:
+            update_config(thresholds=th0)
     else:
         lp, grad = jax.jit(probe)(init, tuple(args))
     lp = np.asarray(lp)

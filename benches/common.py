@@ -93,11 +93,17 @@ def compiled_flops(fn, *args):
 
 
 def leapfrog_flops(logp_vg, *args):
-    """FLOPs of ONE chain-batched value+grad of the log density — the
+    """FLOPs of ONE chain's value+grad of the log density — the
     mathematical flop count of a leapfrog gradient — from XLA's CPU cost
     analysis with Pallas/blocked dispatch disabled (CPU compiles the
     plain formulation; flop counts are backend-independent).  None if
-    cost analysis is unavailable."""
+    cost analysis is unavailable.
+
+    ``logp_vg`` is the chain-BATCHED value+grad and ``args[0]`` the
+    (chains, dim) position batch; the batched cost is divided by the
+    chain count because callers multiply by the per-chain-summed
+    leapfrog counter (``sum(res.n_leapfrog)``) — batched flops times a
+    chain-summed counter would overcount by the chain count."""
     import dataclasses
 
     from math_tpu.config import get_config, update_config
@@ -117,7 +123,8 @@ def leapfrog_flops(logp_vg, *args):
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = ca.get("flops")
-        return float(f) if f and f > 0 else None
+        n_chains = max(1, int(jnp.shape(args[0])[0]))
+        return float(f) / n_chains if f and f > 0 else None
     except Exception:
         return None
     finally:

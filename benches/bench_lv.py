@@ -9,13 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from benches.common import (
-    emit,
-    flops_detail,
-    leapfrog_flops,
-    min_ess_per_sec,
-    timed,
-)
+from benches.common import emit, flops_detail, min_ess_per_sec, timed
 from math_tpu.infer.pooled import run_pooled_chains
 from math_tpu.models import lotka_volterra
 
@@ -41,14 +35,15 @@ def main():
     wall, res = timed(run, keys, z0, jnp.asarray(yobs, jnp.float32))
     min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(4))
     grads = int(np.asarray(res.n_leapfrog).sum())  # sampling window only
-    yo = jnp.asarray(yobs, jnp.float32)
-    fpg = leapfrog_flops(
-        lambda z: jax.vmap(jax.value_and_grad(lambda q: model.logp(q, yo)))(z),
-        z0,
-    )
-    tele = (
-        flops_detail(fpg * grads * (1.0 + warm / samp), wall) if fpg else {}
-    )
+    # XLA cost analysis counts a scan body ONCE (verified: 100-step scan
+    # of a matmul reports 1 matmul), so the ODE-solve-dominated logp needs
+    # an analytic count: 20 intervals x 24 RK4 steps x (4 RHS evals ~12
+    # flops + state update ~24) fwd, x ~3 for the scan VJP, + O(100)
+    # lpdf terms => ~1.1e5 flops/grad/chain.  LV is latency-bound: the
+    # honest utilization metric is grad-evals/s.
+    fpg = 480 * (4 * 12 + 24) * 3 + 500
+    tele = flops_detail(fpg * grads * (1.0 + warm / samp), wall)
+    tele["flops_note"] = "analytic est.; scan-dominated logp (see source)"
     emit(
         "lotka_volterra_ode_nuts_min_bulk_ess_per_sec_1chip",
         eps_s,

@@ -51,7 +51,8 @@ N = 2000
 JITTER = 1e-3
 
 
-def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag):
+def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
+            warm_chunk=None):
     xj, yj = args
 
     def logp(z):
@@ -68,7 +69,7 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag):
         num_samples=samp,
         num_chains=num_chains,
         chunk_size=chunk,
-        warmup_chunk_size=chunk,
+        warmup_chunk_size=chunk if warm_chunk is None else warm_chunk,
         max_depth=depth,
         target_accept=0.8,
         init_radius=0.5,
@@ -97,23 +98,33 @@ def main():
     xg, yg = gp_regression.synthetic_data(N, dtype=np.float32)
     args = (jnp.asarray(xg), jnp.asarray(yg))
 
-    # --- marginal leg (headline): production formulation, honest ESS/s
+    # --- marginal leg (headline): production formulation, honest ESS/s.
+    # Dispatch sizing (measured, v5e relay): the worker kills any single
+    # dispatch running ~90 s+ (a 97-s saturated-tree warmup segment died;
+    # 31-39 s dispatches and a 16-min stream of 123 ms dispatches
+    # survive).  Worst case here: 31 leapfrogs x 125 ms x chunk.
     marg = gp_regression.make_marginal(N, jitter=JITTER)
     m = run_leg(
-        marg, args, num_chains=32, warm=200, samp=300, depth=5, chunk=25,
-        tag="marg",
+        marg, args, num_chains=32, warm=200, samp=300, depth=5, chunk=10,
+        warm_chunk=8, tag="marg",
     )
 
-    # --- latent-f leg (BASELINE.md config shape), honest ESS/s
+    # --- latent-f leg (BASELINE.md config shape), honest ESS/s.
+    # Guarded: a worker crash in the long 2003-dim leg must not void the
+    # already-computed marginal headline.
     lat_model = gp_regression.make(N, jitter=JITTER)
-    lat = run_leg(
-        lat_model, args, num_chains=32, warm=200, samp=150, depth=6,
-        chunk=10, tag="latent",
-    )
-    # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel)
-    lat_budget_ratio = lat["ess_per_sec"] / (
-        lat["min_ess"] / ((200 + 150) * (2**6 - 1) * 0.5)
-    )
+    try:
+        lat = run_leg(
+            lat_model, args, num_chains=32, warm=200, samp=150, depth=6,
+            chunk=5, warm_chunk=4, tag="latent",
+        )
+        # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel)
+        lat_budget_ratio = lat["ess_per_sec"] / (
+            lat["min_ess"] / ((200 + 150) * (2**6 - 1) * 0.5)
+        )
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        lat = {"ess_per_sec": -1.0, "error": str(e)[:200]}
+        lat_budget_ratio = -1.0
 
     # --- SMC leg: capability demo with a small particle budget
     t0 = time.perf_counter()

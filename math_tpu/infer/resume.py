@@ -265,6 +265,17 @@ def sample_nuts_checkpointed(
                     in_slow_seg=jnp.asarray(in_slow_np[s:e]),
                     window_end_seg=jnp.asarray(window_end_np[s:e]),
                 )
+                # Host-sync each segment so a killed dispatch surfaces at
+                # the segment that died (async dispatch would otherwise
+                # enqueue all segments and report the failure at the first
+                # draw transfer).  device_get of a scalar —
+                # block_until_ready can return early through the relay.
+                # NOTE the binding constraint (measured, v5e relay): the
+                # worker kills any SINGLE dispatch running ~90 s+; a
+                # 16-minute host loop of 123 ms dispatches survives.  Size
+                # warmup_chunk_size so worst-case trees (2^max_depth - 1
+                # leapfrogs x per-leapfrog wall x chunk) stay under ~40 s.
+                jax.device_get(carry[1].log_eps.reshape(-1)[0])
             states, da, _, inv_mass, keys = carry
             eps = jnp.where(
                 num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)

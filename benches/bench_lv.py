@@ -10,28 +10,32 @@ import jax
 import jax.numpy as jnp
 
 from benches.common import emit, flops_detail, min_ess_per_sec, timed
-from math_tpu.infer.pooled import run_pooled_chains
+from math_tpu.infer.pooled import run_pooled_chains_chunked
 from math_tpu.models import lotka_volterra
 
 
 def main():
     ts, yobs, theta_true, _ = lotka_volterra.synthetic_data(20)
     model = lotka_volterra.make(ts, solver="rk4")
-    # chains sweep (v5e): 16 -> 24, 64 -> 95, 128 -> 186, 256 -> 318 ESS/s
-    # (512 exceeded the remote worker's program limits)
-    num_chains, warm, samp = 256, 150, 150
+    # chains sweep (v5e): 16 -> 24, 64 -> 95, 128 -> 186, 256 -> 318 ESS/s.
+    # 512 as ONE dispatch hits the worker's ~90 s single-dispatch kill
+    # (the round-1 "program limits"); the chunked pooled runner
+    # (bit-identical draws) bounds each dispatch instead.
+    num_chains, warm, samp = 512, 150, 150
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     z0 = jax.random.uniform(
         jax.random.PRNGKey(1), (num_chains, model.dim), minval=-1.5, maxval=-0.5,
         dtype=jnp.float32,
     )
-    run = jax.jit(
-        lambda k, z, yo: run_pooled_chains(
+
+    def run(k, z, yo):
+        return run_pooled_chains_chunked(
             k, z, model.logp, args=(yo,),
             num_warmup=warm, num_samples=samp, max_depth=7, target_accept=0.85,
+            warmup_chunk=10, sample_chunk=15,
         )
-    )
+
     wall, res = timed(run, keys, z0, jnp.asarray(yobs, jnp.float32))
     min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(4))
     grads = int(np.asarray(res.n_leapfrog).sum())  # sampling window only

@@ -66,51 +66,38 @@ def _welford_merge_batch(wf: adapt.WelfordState, zs, axis_name):
     return adapt.WelfordState(n_new, mean_new, m2_new)
 
 
-def run_pooled_chains(
-    keys,
-    z0s,
-    logdensity_fn: Callable,
-    *,
-    args=(),
-    num_warmup: int,
-    num_samples: int,
-    max_depth: int = 10,
-    target_accept: float = 0.8,
-    axis_name: Optional[str] = None,
-) -> PooledResult:
-    """Advance a batch of chains with shared (pooled) step size and metric.
-
-    Shapes: ``keys`` (local_chains,) PRNG keys; ``z0s`` (local_chains, dim).
-    Call directly for single-host, or wrap in ``shard_map`` with
-    ``axis_name`` matching the mesh chain axis.  Pass large data via
-    ``args`` (kept as traced operands, not baked constants).
-    """
+def _make_pooled_machine(
+    keys, logdensity_fn, args, max_depth, target_accept, axis_name, dt, dim
+):
+    """(init, warmup_seg, sample_seg): the pooled-warmup NUTS machine as
+    three pure segment functions sharing one key-folding scheme (fold_in
+    by the GLOBAL step counter ``t`` carried across segments), so a run
+    split across any segment boundaries is bit-identical to one trace."""
     logp_grad = jax.value_and_grad(lambda z: logdensity_fn(z, *args))
-    dt = z0s.dtype
-    local_chains, dim = z0s.shape
 
     kernel = jax.vmap(
         partial(nuts_kernel, max_depth=max_depth),
         in_axes=(0, 0, None, None, None),
     )
 
-    logp0, grad0 = jax.vmap(logp_grad)(z0s)
-    states = IntegratorState(z0s, jnp.zeros_like(z0s), logp0, grad0)
-    inv_mass = jnp.ones((dim,), dt)
-
-    # shared initial step size: geometric mean of per-chain heuristics
-    eps_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    single = jax.vmap(
-        lambda k, s: adapt.find_reasonable_step_size(k, logp_grad, s, inv_mass)
-    )(eps_keys, states)
-    eps0 = jnp.exp(_pmean(jnp.log(single), axis_name))
-    da = adapt.da_init(eps0, dt)
-    wf = adapt.welford_init(dim, dt)
-
-    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
-
     def split_keys(key_batch, t):
         return jax.vmap(lambda k: jax.random.fold_in(k, t))(key_batch)
+
+    def init(z0s):
+        logp0, grad0 = jax.vmap(logp_grad)(z0s)
+        states = IntegratorState(z0s, jnp.zeros_like(z0s), logp0, grad0)
+        inv_mass = jnp.ones((dim,), dt)
+        # shared initial step size: geometric mean of per-chain heuristics
+        eps_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        single = jax.vmap(
+            lambda k, s: adapt.find_reasonable_step_size(
+                k, logp_grad, s, inv_mass
+            )
+        )(eps_keys, states)
+        eps0 = jnp.exp(_pmean(jnp.log(single), axis_name))
+        da = adapt.da_init(eps0, dt)
+        wf = adapt.welford_init(dim, dt)
+        return (states, da, wf, inv_mass, jnp.asarray(1, jnp.int32))
 
     def warmup_step(carry, xs):
         states, da, wf, inv_mass, t = carry
@@ -138,24 +125,30 @@ def run_pooled_chains(
         )
         return (states, da, wf, inv_mass, t + 1), None
 
-    (states, da, wf, inv_mass, t), _ = jax.lax.scan(
-        warmup_step,
-        (states, da, wf, inv_mass, jnp.asarray(1, jnp.int32)),
-        (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
-    )
-    eps_final = jnp.where(
-        num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
-    )
+    def warmup_seg(carry, in_slow_seg, window_end_seg):
+        carry, _ = jax.lax.scan(
+            warmup_step, carry, (in_slow_seg, window_end_seg)
+        )
+        return carry
 
-    def sample_step(carry, _):
-        states, t = carry
-        step_keys = split_keys(keys, t)
-        states, stats = kernel(step_keys, states, logp_grad, eps_final, inv_mass)
-        return (states, t + 1), (states.z, stats)
+    def sample_seg(states, t, eps_final, inv_mass, n):
+        def sample_step(carry, _):
+            states, t = carry
+            step_keys = split_keys(keys, t)
+            states, stats = kernel(
+                step_keys, states, logp_grad, eps_final, inv_mass
+            )
+            return (states, t + 1), (states.z, stats)
 
-    (states, _), (zs, stats) = jax.lax.scan(
-        sample_step, (states, t), None, length=num_samples
-    )
+        (states, t), (zs, stats) = jax.lax.scan(
+            sample_step, (states, t), None, length=n
+        )
+        return states, t, zs, stats
+
+    return init, warmup_seg, sample_seg
+
+
+def _pooled_result(zs, stats, eps_final, inv_mass):
     # (num_samples, local_chains, dim) -> (local_chains, num_samples, dim)
     zs = jnp.swapaxes(zs, 0, 1)
     stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), stats)
@@ -169,3 +162,104 @@ def run_pooled_chains(
         step_size=eps_final,
         inv_mass=inv_mass,
     )
+
+
+def run_pooled_chains(
+    keys,
+    z0s,
+    logdensity_fn: Callable,
+    *,
+    args=(),
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    axis_name: Optional[str] = None,
+) -> PooledResult:
+    """Advance a batch of chains with shared (pooled) step size and metric.
+
+    Shapes: ``keys`` (local_chains,) PRNG keys; ``z0s`` (local_chains, dim).
+    Call directly for single-host, or wrap in ``shard_map`` with
+    ``axis_name`` matching the mesh chain axis.  Pass large data via
+    ``args`` (kept as traced operands, not baked constants).
+    """
+    dt = z0s.dtype
+    _, dim = z0s.shape
+    init, warmup_seg, sample_seg = _make_pooled_machine(
+        keys, logdensity_fn, args, max_depth, target_accept, axis_name, dt, dim
+    )
+    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+    states, da, wf, inv_mass, t = warmup_seg(
+        init(z0s), jnp.asarray(in_slow_np), jnp.asarray(window_end_np)
+    )
+    eps_final = jnp.where(
+        num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
+    )
+    states, _, zs, stats = sample_seg(
+        states, t, eps_final, inv_mass, num_samples
+    )
+    return _pooled_result(zs, stats, eps_final, inv_mass)
+
+
+def run_pooled_chains_chunked(
+    keys,
+    z0s,
+    logdensity_fn: Callable,
+    *,
+    args=(),
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    warmup_chunk: int = 100,
+    sample_chunk: int = 100,
+) -> PooledResult:
+    """``run_pooled_chains`` executed as bounded device dispatches.
+
+    Bit-identical draws (the segment machine folds keys by the global step
+    counter carried across segments), but each warmup/sampling chunk is
+    its own jitted dispatch with a host sync in between — required on
+    remote TPU workers that kill any single dispatch running ~90 s+
+    (measured; see BENCHMARKS.md env notes).  Size chunks so worst-case
+    trees ((2^max_depth - 1) leapfrogs x per-leapfrog wall x chunk) stay
+    under ~40 s.  Not jittable (host loop); single-host only.
+    """
+    dt = z0s.dtype
+    _, dim = z0s.shape
+    init, warmup_seg, sample_seg = _make_pooled_machine(
+        keys, logdensity_fn, args, max_depth, target_accept, None, dt, dim
+    )
+    init_j = jax.jit(init)
+    warm_j = jax.jit(warmup_seg)
+    samp_j = jax.jit(sample_seg, static_argnums=(4,))
+
+    in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
+    carry = init_j(z0s)
+    for s in range(0, num_warmup, warmup_chunk):
+        e = min(s + warmup_chunk, num_warmup)
+        carry = warm_j(
+            carry,
+            jnp.asarray(in_slow_np[s:e]),
+            jnp.asarray(window_end_np[s:e]),
+        )
+        # scalar host sync: bounds the dispatch stream and surfaces a
+        # killed dispatch at the segment that died
+        jax.device_get(carry[1].log_eps)
+    states, da, wf, inv_mass, t = carry
+    eps_final = jnp.where(
+        num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
+    )
+    zs_parts, stats_parts = [], []
+    done = 0
+    while done < num_samples:
+        n = min(sample_chunk, num_samples - done)
+        states, t, zs, stats = samp_j(states, t, eps_final, inv_mass, n)
+        jax.device_get(t)
+        zs_parts.append(zs)
+        stats_parts.append(stats)
+        done += n
+    zs = jnp.concatenate(zs_parts, axis=0)
+    stats = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *stats_parts
+    )
+    return _pooled_result(zs, stats, eps_final, inv_mass)

@@ -118,3 +118,34 @@ def test_sharded_data_logdensity_glm():
     )
     gg = np.asarray(jax.jit(jax.grad(lp))(theta))
     np.testing.assert_allclose(gg, gw, rtol=1e-9)
+
+
+def test_chunked_pooled_bit_identical():
+    """run_pooled_chains_chunked must reproduce run_pooled_chains draw-for-
+    draw: the segment machine folds keys by the global step counter, so
+    dispatch boundaries cannot change the stream (the property the GP/LV
+    benches rely on when sizing dispatches under the remote worker's
+    ~90 s single-dispatch kill window)."""
+    from math_tpu.infer.pooled import run_pooled_chains_chunked
+
+    model = eight_schools.make()
+    n_chains, warm, samp = 8, 30, 20
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    z0 = jax.random.uniform(
+        jax.random.PRNGKey(4), (n_chains, model.dim), minval=-1.0, maxval=1.0
+    )
+    kw = dict(num_warmup=warm, num_samples=samp, max_depth=5, target_accept=0.85)
+    ref = jax.jit(
+        lambda k, z: run_pooled_chains(k, z, model.logp, **kw)
+    )(keys, z0)
+    # uneven chunk sizes on purpose: 30 = 7+7+7+7+2, 20 = 6+6+6+2
+    got = run_pooled_chains_chunked(
+        keys, z0, model.logp, warmup_chunk=7, sample_chunk=6, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.n_leapfrog), np.asarray(got.n_leapfrog)
+    )
+    assert float(ref.step_size) == float(got.step_size)

@@ -95,8 +95,16 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
 
 
 def main():
+    import json
+
     xg, yg = gp_regression.synthetic_data(N, dtype=np.float32)
     args = (jnp.asarray(xg), jnp.asarray(yg))
+
+    # Leg sizes overridable from the environment so a time-boxed driver can
+    # shorten a leg without editing the bench (ESS/s stays honest at any
+    # size: it is ESS of what was actually drawn over the wall that drew it).
+    def _env(name, default):
+        return int(os.environ.get(name, default))
 
     # --- marginal leg (headline): production formulation, honest ESS/s.
     # Dispatch sizing (measured, v5e relay): the worker kills any single
@@ -105,23 +113,29 @@ def main():
     # survive).  Worst case here: 31 leapfrogs x 125 ms x chunk.
     marg = gp_regression.make_marginal(N, jitter=JITTER)
     m = run_leg(
-        marg, args, num_chains=32, warm=200, samp=300, depth=5, chunk=10,
-        warm_chunk=8, tag="marg",
+        marg, args, num_chains=32,
+        warm=_env("GP_MARG_WARM", 200), samp=_env("GP_MARG_SAMP", 300),
+        depth=5, chunk=10, warm_chunk=8, tag="marg",
     )
+    # flush the headline leg the moment it exists: a worker crash or a
+    # driver timeout in the (longer) latent leg must not void it
+    print(json.dumps({"partial": "gp_marginal", **m}), flush=True)
 
     # --- latent-f leg (BASELINE.md config shape), honest ESS/s.
     # Guarded: a worker crash in the long 2003-dim leg must not void the
     # already-computed marginal headline.
     lat_model = gp_regression.make(N, jitter=JITTER)
+    lat_warm, lat_samp = _env("GP_LAT_WARM", 200), _env("GP_LAT_SAMP", 150)
     try:
         lat = run_leg(
-            lat_model, args, num_chains=32, warm=200, samp=150, depth=6,
-            chunk=5, warm_chunk=4, tag="latent",
+            lat_model, args, num_chains=32, warm=lat_warm, samp=lat_samp,
+            depth=6, chunk=5, warm_chunk=4, tag="latent",
         )
         # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel)
         lat_budget_ratio = lat["ess_per_sec"] / (
-            lat["min_ess"] / ((200 + 150) * (2**6 - 1) * 0.5)
+            lat["min_ess"] / ((lat_warm + lat_samp) * (2**6 - 1) * 0.5)
         )
+        print(json.dumps({"partial": "gp_latent", **lat}), flush=True)
     except Exception as e:  # pragma: no cover - hardware-dependent
         lat = {"ess_per_sec": -1.0, "error": str(e)[:200]}
         lat_budget_ratio = -1.0

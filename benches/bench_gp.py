@@ -31,6 +31,7 @@ shape: crash-safe long chains).
 """
 
 import os
+import sys
 import tempfile
 import time
 
@@ -103,8 +104,10 @@ def main():
     # Leg sizes overridable from the environment so a time-boxed driver can
     # shorten a leg without editing the bench (ESS/s stays honest at any
     # size: it is ESS of what was actually drawn over the wall that drew it).
+    # Clamped to >= 1: a zero override would divide-by-zero in run_leg's
+    # warm/samp extrapolation and the latent budget ratio.
     def _env(name, default):
-        return int(os.environ.get(name, default))
+        return max(1, int(os.environ.get(name, default)))
 
     # --- marginal leg (headline): production formulation, honest ESS/s.
     # Dispatch sizing (measured, v5e relay): the worker kills any single
@@ -118,8 +121,11 @@ def main():
         depth=5, chunk=10, warm_chunk=8, tag="marg",
     )
     # flush the headline leg the moment it exists: a worker crash or a
-    # driver timeout in the (longer) latent leg must not void it
-    print(json.dumps({"partial": "gp_marginal", **m}), flush=True)
+    # driver timeout in the (longer) latent leg must not void it.  Partials
+    # go to STDERR so stdout keeps the one-JSON-line contract of
+    # benches/common.emit.
+    print(json.dumps({"partial": "gp_marginal", **m}),
+          file=sys.stderr, flush=True)
 
     # --- latent-f leg (BASELINE.md config shape), honest ESS/s.
     # Guarded: a worker crash in the long 2003-dim leg must not void the
@@ -131,11 +137,14 @@ def main():
             lat_model, args, num_chains=32, warm=lat_warm, samp=lat_samp,
             depth=6, chunk=5, warm_chunk=4, tag="latent",
         )
-        # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel)
-        lat_budget_ratio = lat["ess_per_sec"] / (
-            lat["min_ess"] / ((lat_warm + lat_samp) * (2**6 - 1) * 0.5)
+        # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel);
+        # guard: min_ess == 0 (degenerate tiny override) would be 0/0
+        cpu_eps = lat["min_ess"] / ((lat_warm + lat_samp) * (2**6 - 1) * 0.5)
+        lat_budget_ratio = (
+            lat["ess_per_sec"] / cpu_eps if cpu_eps > 0 else -1.0
         )
-        print(json.dumps({"partial": "gp_latent", **lat}), flush=True)
+        print(json.dumps({"partial": "gp_latent", **lat}),
+              file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover - hardware-dependent
         lat = {"ess_per_sec": -1.0, "error": str(e)[:200]}
         lat_budget_ratio = -1.0

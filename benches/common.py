@@ -1,7 +1,11 @@
 """Shared benchmark harness utilities.
 
-Each benchmark prints one JSON line:
+Each benchmark prints one JSON line to STDOUT:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+
+Crash-guarded benches may additionally flush per-leg partial records; those
+go to STDERR and lack the "metric" key, so a consumer taking the first
+stdout JSON line always gets the emit() result.
 
 Timing excludes compile (amortized in production serving); results are
 forced with device_get (remote-proxy backends can return early from

@@ -148,6 +148,94 @@ def _make_pooled_machine(
     return init, warmup_seg, sample_seg
 
 
+def _segment_dispatch_fns(
+    logdensity_fn, max_depth, target_accept, dt, dim, *, mesh=None,
+    axis="chain"
+):
+    """Jitted per-segment dispatch functions for the chunked driver.
+
+    Uniform signatures (``args`` and the global ``keys`` batch are
+    explicit operands on every call — traced, never baked as constants):
+
+      init_j(keys, z0s, args) -> carry
+      warm_j(carry, in_slow_seg, window_end_seg, keys, args) -> carry
+      samp_j(states, t, eps_final, inv_mass, keys, args, n) -> ...
+
+    With ``mesh=`` each dispatch is ``shard_map``-ped over ``axis``:
+    chains shard, pooled warmup statistics pool with ``pmean``/``psum``
+    across devices, pooled scalars come back replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def init_local(keys_l, z0_l, args_r):
+        init, _, _ = _make_pooled_machine(
+            keys_l, logdensity_fn, args_r, max_depth, target_accept,
+            axis if mesh is not None else None, dt, dim,
+        )
+        return init(z0_l)
+
+    def warm_local(carry, in_slow, win_end, keys_l, args_r):
+        _, warmup_seg, _ = _make_pooled_machine(
+            keys_l, logdensity_fn, args_r, max_depth, target_accept,
+            axis if mesh is not None else None, dt, dim,
+        )
+        return warmup_seg(carry, in_slow, win_end)
+
+    def samp_local_factory(n):
+        def samp_local(states, t, eps_final, inv_mass, keys_l, args_r):
+            _, _, sample_seg = _make_pooled_machine(
+                keys_l, logdensity_fn, args_r, max_depth, target_accept,
+                axis if mesh is not None else None, dt, dim,
+            )
+            return sample_seg(states, t, eps_final, inv_mass, n)
+
+        return samp_local
+
+    if mesh is None:
+        init_j = jax.jit(init_local)
+        warm_j = jax.jit(warm_local)
+        samp_cache = {}
+
+        def samp_j(states, t, eps_final, inv_mass, keys_g, args_r, n):
+            if n not in samp_cache:
+                samp_cache[n] = jax.jit(samp_local_factory(n))
+            return samp_cache[n](states, t, eps_final, inv_mass, keys_g,
+                                 args_r)
+
+        return init_j, warm_j, samp_j
+
+    carry_spec = (P(axis), P(), P(), P(), P())
+    init_j = jax.jit(
+        jax.shard_map(
+            init_local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P()), out_specs=carry_spec,
+        )
+    )
+    warm_j = jax.jit(
+        jax.shard_map(
+            warm_local, mesh=mesh,
+            in_specs=(carry_spec, P(), P(), P(axis), P()),
+            out_specs=carry_spec,
+        )
+    )
+    samp_cache = {}
+
+    def samp_j(states, t, eps_final, inv_mass, keys_g, args_r, n):
+        if n not in samp_cache:
+            samp_cache[n] = jax.jit(
+                jax.shard_map(
+                    samp_local_factory(n), mesh=mesh,
+                    in_specs=(P(axis), P(), P(), P(), P(axis), P()),
+                    # zs/stats come out (n, local_chains, ...): the chain
+                    # axis is second
+                    out_specs=(P(axis), P(), P(None, axis), P(None, axis)),
+                )
+            )
+        return samp_cache[n](states, t, eps_final, inv_mass, keys_g, args_r)
+
+    return init_j, warm_j, samp_j
+
+
 def _pooled_result(zs, stats, eps_final, inv_mass):
     # (num_samples, local_chains, dim) -> (local_chains, num_samples, dim)
     zs = jnp.swapaxes(zs, 0, 1)
@@ -213,6 +301,8 @@ def run_pooled_chains_chunked(
     target_accept: float = 0.8,
     warmup_chunk: int = 100,
     sample_chunk: int = 100,
+    mesh=None,
+    axis: str = "chain",
 ) -> PooledResult:
     """``run_pooled_chains`` executed as bounded device dispatches.
 
@@ -222,25 +312,32 @@ def run_pooled_chains_chunked(
     remote TPU workers that kill any single dispatch running ~90 s+
     (measured; see BENCHMARKS.md env notes).  Size chunks so worst-case
     trees ((2^max_depth - 1) leapfrogs x per-leapfrog wall x chunk) stay
-    under ~40 s.  Not jittable (host loop); single-host only.
+    under ~40 s.  Not jittable (host loop).
+
+    With ``mesh=`` each segment dispatch is additionally ``shard_map``-ped
+    over the mesh's ``axis``: chains (``keys``/``z0s`` leading axis, must
+    divide the mesh size) are sharded, pooled warmup statistics ride
+    ``pmean``/``psum`` over ICI, and the returned draws carry the global
+    chain axis — the multi-chip production path for long runs.
     """
     dt = z0s.dtype
     _, dim = z0s.shape
-    init, warmup_seg, sample_seg = _make_pooled_machine(
-        keys, logdensity_fn, args, max_depth, target_accept, None, dt, dim
+    args = tuple(args)
+    init_j, warm_j, samp_j = _segment_dispatch_fns(
+        logdensity_fn, max_depth, target_accept, dt, dim,
+        mesh=mesh, axis=axis,
     )
-    init_j = jax.jit(init)
-    warm_j = jax.jit(warmup_seg)
-    samp_j = jax.jit(sample_seg, static_argnums=(4,))
 
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
-    carry = init_j(z0s)
+    carry = init_j(keys, z0s, args)
     for s in range(0, num_warmup, warmup_chunk):
         e = min(s + warmup_chunk, num_warmup)
         carry = warm_j(
             carry,
             jnp.asarray(in_slow_np[s:e]),
             jnp.asarray(window_end_np[s:e]),
+            keys,
+            args,
         )
         # scalar host sync: bounds the dispatch stream and surfaces a
         # killed dispatch at the segment that died
@@ -253,7 +350,9 @@ def run_pooled_chains_chunked(
     done = 0
     while done < num_samples:
         n = min(sample_chunk, num_samples - done)
-        states, t, zs, stats = samp_j(states, t, eps_final, inv_mass, n)
+        states, t, zs, stats = samp_j(
+            states, t, eps_final, inv_mass, keys, args, n
+        )
         jax.device_get(t)
         zs_parts.append(zs)
         stats_parts.append(stats)

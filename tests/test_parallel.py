@@ -149,3 +149,46 @@ def test_chunked_pooled_bit_identical():
         np.asarray(ref.n_leapfrog), np.asarray(got.n_leapfrog)
     )
     assert float(ref.step_size) == float(got.step_size)
+
+
+def test_chunked_pooled_sharded_bit_identical():
+    """The chunked driver on a mesh (mesh=) must reproduce the monolithic
+    shard_map-ped run_pooled_chains draw-for-draw on the same mesh: the
+    multi-chip resume path cannot change the stream either."""
+    from math_tpu.infer.pooled import run_pooled_chains_chunked
+
+    model = eight_schools.make()
+    n_chains, warm, samp = 16, 25, 14
+    keys = jax.random.split(jax.random.PRNGKey(5), n_chains)
+    z0 = jax.random.uniform(
+        jax.random.PRNGKey(6), (n_chains, model.dim), minval=-1.0, maxval=1.0
+    )
+    kw = dict(num_warmup=warm, num_samples=samp, max_depth=5,
+              target_accept=0.85)
+    mesh = chain_mesh()
+
+    probe = run_pooled_chains(keys[:2], z0[:2], model.logp, **kw)
+    ref = jax.jit(
+        jax.shard_map(
+            lambda k, z: run_pooled_chains(
+                k, z, model.logp, axis_name="chain", **kw
+            ),
+            mesh=mesh,
+            in_specs=(P("chain"), P("chain")),
+            out_specs=jax.tree.map(lambda _: P("chain"), probe)._replace(
+                step_size=P(), inv_mass=P()
+            ),
+        )
+    )(keys, z0)
+
+    got = run_pooled_chains_chunked(
+        keys, z0, model.logp, warmup_chunk=6, sample_chunk=5,
+        mesh=mesh, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.n_leapfrog), np.asarray(got.n_leapfrog)
+    )
+    assert float(ref.step_size) == float(got.step_size)

@@ -1,123 +1,97 @@
-"""Headline benchmark: eight-schools NUTS ESS/sec on one chip.
+"""Headline benchmark driver: one JSON line per BASELINE.md config.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ESS/s", "vs_baseline": N}
+Runs every benchmark config as its own subprocess (isolating TPU-worker
+crashes: a killed worker in one bench cannot void the others' lines) and
+forwards each bench's single stdout JSON line:
 
-Baseline: CPU Stan (CmdStan, 4 chains) on eight-schools achieves roughly
-2,500 bulk-ESS/s wall-clock for mu (release builds on modern x86; the
-reference repo publishes no numbers — BASELINE.md).  The north-star target
-is >=10x per chip, i.e. 25,000 ESS/s.
+  1. eight-schools NUTS            (benches/bench_eight_schools.py)
+  2. bernoulli_logit_glm 100k x 50 (benches/bench_glm.py)
+  3. radon NUTS + ADVI parity      (benches/bench_radon.py)
+  4. Lotka-Volterra ODE            (benches/bench_lv.py)
+  5. GP 2k marginal/latent + SMC   (benches/bench_gp.py)
+  +  chain-sharded scaling         (benches/bench_scaling.py)
 
-Method: 512 vmapped chains, Stan-default windowed warmup (500) + 500 draws,
-f32 on TPU.  Value = min bulk-ESS across the 10 unconstrained coordinates
-divided by total wall time (warmup + sampling, excluding compile — compile
-is cached across runs in production serving).
+The first line is the eight-schools headline (the round-over-round
+tracking metric).  A bench that fails or times out forwards nothing;
+the failure is noted on stderr and the remaining benches still run
+(after a TPU health re-check, since a crashed remote worker needs ~10
+minutes to recover).
 """
 
-import json
 import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
-import jax
-import jax.numpy as jnp
+# (module, extra env, timeout seconds).  GP leg sizes are trimmed from the
+# full BENCHMARKS.md run so the whole suite fits a driver window; ESS/s is
+# honest at any size (ESS of what was drawn over the wall that drew it).
+BENCHES = [
+    ("benches.bench_eight_schools", {}, 1800),
+    ("benches.bench_glm", {}, 2400),
+    ("benches.bench_radon", {}, 2400),
+    ("benches.bench_lv", {}, 3000),
+    ("benches.bench_scaling", {}, 1800),
+    (
+        "benches.bench_gp",
+        {
+            "GP_MARG_WARM": "150",
+            "GP_MARG_SAMP": "200",
+            "GP_LAT_WARM": "100",
+            "GP_LAT_SAMP": "80",
+        },
+        7200,
+    ),
+]
 
-# persistent compile cache (see benches/common.py): repeat driver runs skip
-# the slow remote-relay compile
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+def _tpu_healthy(timeout_s=120):
+    """True if a trivial dispatch completes (crashed workers hang it)."""
+    code = "import jax, jax.numpy as jnp; print(jax.device_get(jnp.sum(jnp.arange(4.0))))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], cwd=ROOT, timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_healthy(max_wait_s=900):
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if _tpu_healthy():
+            return True
+        print("bench: TPU worker unhealthy; waiting 60s", file=sys.stderr,
+              flush=True)
+        time.sleep(60)
+    return False
 
 
 def main():
-    from math_tpu.diagnostics import ess_bulk
-    from math_tpu.infer.pooled import run_pooled_chains
-    from math_tpu.models import eight_schools
-
-    model = eight_schools.make()
-    # chains sweep (v5e): 512 -> 27.0k, 1024 -> 33.7k, 2048 -> 31.5k ESS/s;
-    # 1024 best amortizes the VPU without over-lengthening the masked trees
-    num_chains = 1024
-    num_warmup, num_samples = 500, 500
-    dtype = jnp.float32
-
-    key = jax.random.PRNGKey(0)
-    key, k_init = jax.random.split(key)
-    z0 = jax.random.uniform(
-        k_init, (num_chains, model.dim), minval=-2.0, maxval=2.0, dtype=dtype
-    )
-    keys = jax.random.split(key, num_chains)
-
-    run = jax.jit(
-        lambda k, z: run_pooled_chains(
-            k,
-            z,
-            model.logp,
-            num_warmup=num_warmup,
-            num_samples=num_samples,
-            max_depth=10,
-            target_accept=0.9,
-        )
-    )
-
-    # compile (not timed: amortized in production); forcing uses an
-    # on-device scalar checksum — block_until_ready can return early on
-    # remote-proxy backends, and pulling the full draw array through the
-    # relay tunnel measures the tunnel, not the sampler (see
-    # benches/common._force)
-    from benches.common import _force
-
-    res = run(keys, z0)
-    _force(res)
-
-    keys2 = jax.random.split(jax.random.PRNGKey(7), num_chains)
-    t0 = time.perf_counter()
-    res = run(keys2, z0)
-    _force(res)
-    dt = time.perf_counter() - t0
-    pos = jax.device_get(res.position)
-
-    pos = np.nan_to_num(np.asarray(pos), nan=0.0)  # (chains, samples, dim)
-    ess = np.array([ess_bulk(pos[:, :, i]) for i in range(model.dim)])
-    min_ess = float(np.nanmin(ess))
-    ess_per_sec = min_ess / dt
-
-    n_grad = int(np.asarray(res.n_leapfrog).sum()) * 1  # sampling phase only
-    grad_per_sec = n_grad / dt
-    # FLOP telemetry (VERDICT r2 #3): eight-schools is a 10-dim VPU/latency
-    # bound posterior — FLOP/s is reported for completeness, the honest
-    # utilization metric here is grad-evals/s
-    from benches.common import flops_detail, leapfrog_flops
-
-    fpg = leapfrog_flops(
-        lambda z: jax.vmap(jax.value_and_grad(model.logp))(z), z0
-    )
-    tele = (
-        flops_detail(fpg * n_grad * (1.0 + num_warmup / num_samples), dt)
-        if fpg
-        else {}
-    )
-
-    baseline_cpu_stan = 2500.0  # ESS/s, documented estimate (see docstring)
-    out = {
-        "metric": "eight_schools_nuts_min_bulk_ess_per_sec_1chip",
-        "value": round(ess_per_sec, 1),
-        "unit": "ESS/s",
-        "vs_baseline": round(ess_per_sec / baseline_cpu_stan, 2),
-        "detail": {
-            "wall_s": round(dt, 3),
-            "chains": num_chains,
-            "min_ess": round(min_ess, 1),
-            "grad_evals_per_sec_sampling": round(grad_per_sec, 0),
-            "flops_per_grad_eval": fpg,
-            **tele,
-            "divergence_rate": float(np.asarray(res.diverging).mean()),
-        },
-    }
-    print(json.dumps(out))
+    prev_failed = False
+    for mod, extra_env, timeout_s in BENCHES:
+        if prev_failed and not _wait_healthy():
+            print(f"bench: skipping {mod}: TPU worker never recovered",
+                  file=sys.stderr, flush=True)
+            continue
+        env = {**os.environ, **extra_env}
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", mod], cwd=ROOT, env=env,
+                timeout=timeout_s,
+            )
+            prev_failed = r.returncode != 0
+            if prev_failed:
+                print(f"bench: {mod} exited {r.returncode}",
+                      file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            prev_failed = True
+            print(f"bench: {mod} timed out after {timeout_s}s",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

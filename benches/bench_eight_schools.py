@@ -1,0 +1,117 @@
+"""Headline benchmark: eight-schools NUTS ESS/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ESS/s", "vs_baseline": N}
+
+Baseline: CPU Stan (CmdStan, 4 chains) on eight-schools achieves roughly
+2,500 bulk-ESS/s wall-clock for mu (release builds on modern x86; the
+reference repo publishes no numbers — BASELINE.md).  The north-star target
+is >=10x per chip, i.e. 25,000 ESS/s.
+
+Method: 512 vmapped chains, Stan-default windowed warmup (500) + 500 draws,
+f32 on TPU.  Value = min bulk-ESS across the 10 unconstrained coordinates
+divided by total wall time (warmup + sampling, excluding compile — compile
+is cached across runs in production serving).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import benches.common  # noqa: F401  (sets the shared persistent compile cache)
+
+
+def main():
+    from math_tpu.diagnostics import ess_bulk
+    from math_tpu.infer.pooled import run_pooled_chains
+    from math_tpu.models import eight_schools
+
+    model = eight_schools.make()
+    # chains sweep (v5e): 512 -> 27.0k, 1024 -> 33.7k, 2048 -> 31.5k ESS/s;
+    # 1024 best amortizes the VPU without over-lengthening the masked trees
+    num_chains = 1024
+    num_warmup, num_samples = 500, 500
+    dtype = jnp.float32
+
+    key = jax.random.PRNGKey(0)
+    key, k_init = jax.random.split(key)
+    z0 = jax.random.uniform(
+        k_init, (num_chains, model.dim), minval=-2.0, maxval=2.0, dtype=dtype
+    )
+    keys = jax.random.split(key, num_chains)
+
+    run = jax.jit(
+        lambda k, z: run_pooled_chains(
+            k,
+            z,
+            model.logp,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            max_depth=10,
+            target_accept=0.9,
+        )
+    )
+
+    # compile (not timed: amortized in production); forcing uses an
+    # on-device scalar checksum — block_until_ready can return early on
+    # remote-proxy backends, and pulling the full draw array through the
+    # relay tunnel measures the tunnel, not the sampler (see
+    # benches/common._force)
+    from benches.common import _force
+
+    res = run(keys, z0)
+    _force(res)
+
+    keys2 = jax.random.split(jax.random.PRNGKey(7), num_chains)
+    t0 = time.perf_counter()
+    res = run(keys2, z0)
+    _force(res)
+    dt = time.perf_counter() - t0
+    pos = jax.device_get(res.position)
+
+    pos = np.nan_to_num(np.asarray(pos), nan=0.0)  # (chains, samples, dim)
+    ess = np.array([ess_bulk(pos[:, :, i]) for i in range(model.dim)])
+    min_ess = float(np.nanmin(ess))
+    ess_per_sec = min_ess / dt
+
+    n_grad = int(np.asarray(res.n_leapfrog).sum()) * 1  # sampling phase only
+    grad_per_sec = n_grad / dt
+    # FLOP telemetry (VERDICT r2 #3): eight-schools is a 10-dim VPU/latency
+    # bound posterior — FLOP/s is reported for completeness, the honest
+    # utilization metric here is grad-evals/s
+    from benches.common import flops_detail, leapfrog_flops
+
+    fpg = leapfrog_flops(
+        lambda z: jax.vmap(jax.value_and_grad(model.logp))(z), z0
+    )
+    tele = (
+        flops_detail(fpg * n_grad * (1.0 + num_warmup / num_samples), dt)
+        if fpg
+        else {}
+    )
+
+    baseline_cpu_stan = 2500.0  # ESS/s, documented estimate (see docstring)
+    out = {
+        "metric": "eight_schools_nuts_min_bulk_ess_per_sec_1chip",
+        "value": round(ess_per_sec, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(ess_per_sec / baseline_cpu_stan, 2),
+        "detail": {
+            "wall_s": round(dt, 3),
+            "chains": num_chains,
+            "min_ess": round(min_ess, 1),
+            "grad_evals_per_sec_sampling": round(grad_per_sec, 0),
+            "flops_per_grad_eval": fpg,
+            **tele,
+            "divergence_rate": float(np.asarray(res.diverging).mean()),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,28 +128,34 @@ def _next_temperature(t, log_like, target_ess, max_bisect=30):
     return jnp.minimum(t + dt, 1.0)
 
 
-def smc_tempered(
-    logdensity_fn: Callable,
-    key,
-    dim: int,
-    *,
-    args=(),
-    num_particles: int = 1024,
-    mutation_steps: int = 3,
-    max_depth: int = 6,
-    target_rel_ess: float = 0.5,
-    max_stages: int = 100,
-    init_scale: float = 1.0,
-    dtype=jnp.float64,
-    axis_name: Optional[str] = None,
-) -> SMCResult:
-    """Adaptive tempered SMC from N(0, init_scale^2 I) to the posterior.
+def _pbatch_map(fn, tree, batch):
+    """Apply ``fn`` to leading-axis sub-batches of ``tree`` via ``lax.map``.
 
-    Under ``shard_map`` pass ``axis_name``: ``num_particles`` is then the
-    *local* count; temperature selection and resampling operate on the
-    globally gathered weight vector (``all_gather`` — SURVEY.md §5.8), and
-    cross-shard ancestors are fetched by gathering particles.
+    ``fn`` maps a ``(batch, ...)`` pytree to ``(batch, ...)`` outputs; with
+    ``batch=None`` this is just ``fn(tree)``.  Bounds peak memory for
+    per-particle programs with large intermediates (e.g. a (n, n) kernel
+    matrix per particle): only ``batch`` particles' buffers live at once.
     """
+    if batch is None:
+        return fn(tree)
+    n = jax.tree.leaves(tree)[0].shape[0]
+    if n % batch:
+        raise ValueError(f"num_particles={n} not divisible by particle_batch={batch}")
+    nb = n // batch
+    chunked = jax.tree.map(
+        lambda x: x.reshape((nb, batch) + x.shape[1:]), tree
+    )
+    out = jax.lax.map(fn, chunked)
+    return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), out)
+
+
+def _make_smc_stage(
+    logdensity_fn, dim, args, num_particles, mutation_steps, max_depth,
+    target_rel_ess, init_scale, axis_name, particle_batch,
+):
+    """The per-stage transition shared by the monolithic and the
+    host-driven (stagewise) SMC drivers — one body, so dispatch boundaries
+    cannot change the stream."""
 
     def ld(z):
         return logdensity_fn(z, *args)
@@ -167,20 +173,11 @@ def smc_tempered(
             return x
         return jax.lax.all_gather(x, axis_name, tiled=True)
 
-    # Two PRNG streams: ``key`` (shared — identical on every shard, drives
-    # temperature/resampling so all shards agree on global ancestry) and
-    # ``key_local`` (per-shard — drives particle init and mutation noise).
-    key, k_init = jax.random.split(key)
-    if axis_name is not None:
-        key_local = jax.random.fold_in(key, 1 + jax.lax.axis_index(axis_name))
-        k_init = jax.random.fold_in(k_init, jax.lax.axis_index(axis_name))
-    else:
-        key_local = jax.random.fold_in(key, 1)
-    z = init_scale * jax.random.normal(k_init, (num_particles, dim), dtype)
-
     def stage(carry):
         z, t, logz, stage_idx, eps, key, key_local = carry
-        log_like = jax.vmap(lambda zz: ld(zz) - ref_lp(zz))(z)
+        log_like = _pbatch_map(
+            jax.vmap(lambda zz: ld(zz) - ref_lp(zz)), z, particle_batch
+        )
         log_like = jnp.where(jnp.isnan(log_like), -jnp.inf, log_like)
         log_like_g = gather(log_like)
         t_new = _next_temperature(t, log_like_g, target_rel_ess)
@@ -203,7 +200,7 @@ def smc_tempered(
 
         # mutation: NUTS at the new tempered target
         lg = jax.value_and_grad(lambda zz: tempered(zz, t_new))
-        lp0, g0 = jax.vmap(lg)(z)
+        lp0, g0 = _pbatch_map(jax.vmap(lg), z, particle_batch)
         states = IntegratorState(z, jnp.zeros_like(z), lp0, g0)
         kernel = jax.vmap(
             partial(nuts_kernel, max_depth=max_depth),
@@ -223,7 +220,11 @@ def smc_tempered(
             states, key2 = carry2
             key2, k = jax.random.split(key2)
             ks = jax.random.split(k, num_particles)
-            states, stats = kernel(ks, states, lg, eps, inv_mass)
+            states, stats = _pbatch_map(
+                lambda ops: kernel(ops[0], ops[1], lg, eps, inv_mass),
+                (ks, states),
+                particle_batch,
+            )
             acc = jnp.mean(stats.accept_prob)
             if axis_name is not None:
                 acc = jax.lax.pmean(acc, axis_name)
@@ -239,23 +240,78 @@ def smc_tempered(
         eps = eps * jnp.exp(1.0 * (acc - 0.65))
         return states.z, t_new, logz, stage_idx + 1, eps, key, key_local
 
-    def cond(carry):
-        _, t, _, stage_idx, _, _, _ = carry
-        return (t < 1.0) & (stage_idx < max_stages)
+    return stage
 
-    eps0 = jnp.asarray(0.2, dtype)
-    init = _vary_like(
+
+def _smc_init(key, dim, num_particles, init_scale, dtype, axis_name):
+    """Initial carry for the SMC stage machine.
+
+    Two PRNG streams: ``key`` (shared — identical on every shard, drives
+    temperature/resampling so all shards agree on global ancestry) and
+    ``key_local`` (per-shard — drives particle init and mutation noise).
+    """
+    key, k_init = jax.random.split(key)
+    if axis_name is not None:
+        key_local = jax.random.fold_in(key, 1 + jax.lax.axis_index(axis_name))
+        k_init = jax.random.fold_in(k_init, jax.lax.axis_index(axis_name))
+    else:
+        key_local = jax.random.fold_in(key, 1)
+    z = init_scale * jax.random.normal(k_init, (num_particles, dim), dtype)
+    return _vary_like(
         (
             z,
             jnp.zeros((), dtype),
             jnp.zeros((), dtype),
             jnp.asarray(0, jnp.int32),
-            eps0,
+            jnp.asarray(0.2, dtype),
             key,
             key_local,
         ),
         z,
     )
+
+
+def smc_tempered(
+    logdensity_fn: Callable,
+    key,
+    dim: int,
+    *,
+    args=(),
+    num_particles: int = 1024,
+    mutation_steps: int = 3,
+    max_depth: int = 6,
+    target_rel_ess: float = 0.5,
+    max_stages: int = 100,
+    init_scale: float = 1.0,
+    dtype=jnp.float64,
+    axis_name: Optional[str] = None,
+    particle_batch: Optional[int] = None,
+) -> SMCResult:
+    """Adaptive tempered SMC from N(0, init_scale^2 I) to the posterior.
+
+    Under ``shard_map`` pass ``axis_name``: ``num_particles`` is then the
+    *local* count; temperature selection and resampling operate on the
+    globally gathered weight vector (``all_gather`` — SURVEY.md §5.8), and
+    cross-shard ancestors are fetched with ``ppermute`` rotations.
+
+    ``particle_batch``: evaluate per-particle programs in sub-batches via
+    ``lax.map`` to bound peak memory (needed when each particle's log
+    density holds large intermediates, e.g. an (n, n) GP kernel matrix);
+    must divide ``num_particles``.
+
+    One ``while_loop`` over stages — a single device dispatch.  On remote
+    workers that kill long dispatches use ``smc_tempered_stagewise``.
+    """
+    stage = _make_smc_stage(
+        logdensity_fn, dim, args, num_particles, mutation_steps, max_depth,
+        target_rel_ess, init_scale, axis_name, particle_batch,
+    )
+
+    def cond(carry):
+        _, t, _, stage_idx, _, _, _ = carry
+        return (t < 1.0) & (stage_idx < max_stages)
+
+    init = _smc_init(key, dim, num_particles, init_scale, dtype, axis_name)
     z, t, logz, stages, eps, key, key_local = jax.lax.while_loop(
         cond, stage, init
     )
@@ -267,4 +323,58 @@ def smc_tempered(
         stages = jax.lax.pmax(stages, axis_name)
     return SMCResult(
         particles=z, log_evidence=logz, num_stages=stages, final_step_size=eps
+    )
+
+
+def smc_tempered_stagewise(
+    logdensity_fn: Callable,
+    key,
+    dim: int,
+    *,
+    args=(),
+    num_particles: int = 1024,
+    mutation_steps: int = 3,
+    max_depth: int = 6,
+    target_rel_ess: float = 0.5,
+    max_stages: int = 100,
+    init_scale: float = 1.0,
+    dtype=jnp.float64,
+    particle_batch: Optional[int] = None,
+    progress_fn: Optional[Callable] = None,
+) -> SMCResult:
+    """``smc_tempered`` with each stage as its own bounded device dispatch.
+
+    The host drives the temperature ladder: one jitted stage transition per
+    dispatch, with a scalar sync in between — required on remote TPU
+    workers that kill any single dispatch running ~90 s+ (the SMC analog of
+    the chunked NUTS drivers).  Same stage body and key folding as the
+    monolithic driver, so the particle stream is bit-identical.  Not
+    jittable (host loop); single-host (use the shard_map path of
+    ``smc_tempered`` for meshes).
+
+    ``progress_fn(stage_idx, t, logz)`` if given is called after each stage
+    (e.g. for logging the temperature ladder).
+    """
+    stage_j = jax.jit(
+        _make_smc_stage(
+            logdensity_fn, dim, args, num_particles, mutation_steps,
+            max_depth, target_rel_ess, init_scale, None, particle_batch,
+        )
+    )
+    carry = jax.jit(
+        lambda k: _smc_init(k, dim, num_particles, init_scale, dtype, None)
+    )(key)
+    t = 0.0
+    stages = 0
+    while t < 1.0 and stages < max_stages:
+        carry = stage_j(carry)
+        # scalar host sync: bounds the dispatch stream, drives the ladder
+        t = float(jax.device_get(carry[1]))
+        stages = int(jax.device_get(carry[3]))
+        if progress_fn is not None:
+            progress_fn(stages, t, float(jax.device_get(carry[2])))
+    z, t_dev, logz, stages_dev, eps, _, _ = carry
+    return SMCResult(
+        particles=z, log_evidence=logz, num_stages=stages_dev,
+        final_step_size=eps,
     )

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from benches.common import emit, min_ess_per_sec
 from math_tpu.infer.resume import sample_nuts_checkpointed
-from math_tpu.infer.smc import smc_tempered
+from math_tpu.infer.smc import smc_tempered_stagewise
 from math_tpu.models import gp_regression
 
 N = 2000
@@ -78,6 +78,7 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
     )
     wall = time.perf_counter() - t0
     min_ess, eps_s = min_ess_per_sec(pos, wall, coords=range(3))
+    mon = np.asarray(pos)[..., :3].reshape(-1, 3)  # monitored hyperparams
     # measured sampling-phase leapfrogs, scaled to the full (warmup
     # included) wall window for the throughput estimate
     leapfrogs = info["n_leapfrog"] * (1.0 + warm / samp)
@@ -92,6 +93,8 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
         "divergence_rate": float(np.asarray(div).mean()),
         "grad_evals_per_sec": round(leapfrogs / wall, 1),
         "gflops_per_sec": round(flops / wall / 1e9, 1),
+        "post_mean": [round(float(v), 4) for v in mon.mean(0)],
+        "post_sd": [round(float(v), 4) for v in mon.std(0)],
     }
 
 
@@ -149,18 +152,47 @@ def main():
         lat = {"ess_per_sec": -1.0, "error": str(e)[:200]}
         lat_budget_ratio = -1.0
 
-    # --- SMC leg: capability demo with a small particle budget
-    t0 = time.perf_counter()
+    # --- SMC leg (BASELINE config 5 names "NUTS + SMC tempering"):
+    # production-scale tempered SMC on the marginal model — adaptive
+    # temperature ladder to t=1, NUTS mutations at the Robbins-Monro
+    # adapted step size, one bounded dispatch per stage (stagewise driver),
+    # particle_batch bounds HBM (each particle's logp holds an n x n
+    # kernel matrix).  Reports log-evidence repeatability across two seeds
+    # and hyperparameter moment parity against the NUTS marginal leg.
+    n_part = _env("GP_SMC_PARTICLES", 512)
+    n_part = max(32, (n_part // 32) * 32)
     try:
-        sres = smc_tempered(
-            lat_model.logp, jax.random.PRNGKey(2), lat_model.dim, args=args,
-            num_particles=32, mutation_steps=1, max_depth=3,
-            dtype=jnp.float32,
-        )
-        smc_stages = int(sres.num_stages)
-        smc_wall = time.perf_counter() - t0
-    except Exception:  # worker crash must not void the NUTS results
-        smc_stages, smc_wall = -1, -1.0
+        runs = []
+        for seed in (2, 3):
+            t0 = time.perf_counter()
+            sres = smc_tempered_stagewise(
+                marg.logp, jax.random.PRNGKey(seed), marg.dim, args=args,
+                num_particles=n_part, particle_batch=32, mutation_steps=1,
+                max_depth=4, dtype=jnp.float32,
+            )
+            runs.append((sres, time.perf_counter() - t0))
+        p = np.asarray(runs[0][0].particles)
+        nuts_mean = np.asarray(m["post_mean"])
+        nuts_sd = np.asarray(m["post_sd"])
+        mean_z = np.abs(p.mean(0) - nuts_mean) / nuts_sd
+        lz = [float(r.log_evidence) for r, _ in runs]
+        smc_detail = {
+            "smc_particles": n_part,
+            "smc_stages": [int(r.num_stages) for r, _ in runs],
+            "smc_wall_s": [round(w, 1) for _, w in runs],
+            "smc_log_evidence": [round(v, 2) for v in lz],
+            "smc_logz_seed_spread": round(abs(lz[0] - lz[1]), 3),
+            "smc_max_mean_z_vs_nuts": round(float(mean_z.max()), 3),
+            "smc_sd_ratio_vs_nuts": [
+                round(float(v), 3) for v in p.std(0) / nuts_sd
+            ],
+            # parity bar: SMC hyperparameter means within 0.3 NUTS-sd
+            "smc_moments_match_nuts": bool(mean_z.max() < 0.3),
+        }
+        print(json.dumps({"partial": "gp_smc", **smc_detail}),
+              file=sys.stderr, flush=True)
+    except Exception as e:  # worker crash must not void the NUTS results
+        smc_detail = {"smc_error": str(e)[:200]}
 
     emit(
         "gp_regression_2k_marginal_nuts_min_bulk_ess_per_sec_1chip",
@@ -174,8 +206,7 @@ def main():
             "latent_speedup_same_budget_vs_cpu_stan": round(
                 lat_budget_ratio, 1
             ),
-            "smc_stages": smc_stages,
-            "smc_wall_s": round(smc_wall, 2),
+            **smc_detail,
         },
     )
 

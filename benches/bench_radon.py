@@ -94,14 +94,18 @@ def main():
         advi_detail[f"advi_{method}"] = {
             "steps_per_sec": round(advi_steps / advi_wall, 0),
             "final_elbo": round(float(ares.final_elbo), 2),
-            # max over monitored coords of |mean_ADVI - mean_NUTS| / sd_NUTS
-            "max_mean_z_vs_nuts": round(
-                float(np.abs((mu - nuts_mean) / nuts_sd).max()), 3
-            ),
-            # sd accuracy range (meanfield is expected to under-cover on
-            # hierarchical posteriors; fullrank should be close to 1)
-            "sd_ratio_min": round(float((sd / nuts_sd).min()), 3),
-            "sd_ratio_max": round(float((sd / nuts_sd).max()), 3),
+            # per monitored coord (mu_a, mu_b, log_sigma_a, log_sigma_b,
+            # log_sigma_y): |mean_ADVI - mean_NUTS| / sd_NUTS and the sd
+            # ratio.  Location params should match tightly; the weakly
+            # identified log-scale coords are where ADVI (Stan's too)
+            # deviates — report them separately rather than hiding them
+            # in a max.
+            "mean_z_by_coord": [
+                round(float(v), 3) for v in np.abs((mu - nuts_mean) / nuts_sd)
+            ],
+            "sd_ratio_by_coord": [
+                round(float(v), 3) for v in sd / nuts_sd
+            ],
         }
 
     emit(

@@ -2,6 +2,10 @@ from math_tpu.infer.nuts import nuts_kernel, IntegratorState, NutsStats  # noqa:
 from math_tpu.infer.sample import sample_nuts, ChainResult  # noqa: F401
 from math_tpu.infer.pooled import run_pooled_chains, PooledResult  # noqa: F401
 from math_tpu.infer.advi import advi, advi_sample, ADVIResult  # noqa: F401
-from math_tpu.infer.smc import smc_tempered, SMCResult  # noqa: F401
+from math_tpu.infer.smc import (  # noqa: F401
+    smc_tempered,
+    smc_tempered_stagewise,
+    SMCResult,
+)
 from math_tpu.infer.resume import sample_nuts_checkpointed  # noqa: F401
 from math_tpu.infer import adapt  # noqa: F401

@@ -58,14 +58,14 @@ def fixed_leapfrog_wall(model, C, n_steps=1024, dtype=jnp.float32):
     return dt / n_steps
 
 
-def nuts_run(model, C, warm=500, samp=500, dtype=jnp.float32):
+def nuts_run(model, C, warm=500, samp=500, max_depth=10, dtype=jnp.float32):
     keys = jax.random.split(jax.random.PRNGKey(0), C)
     z0 = jax.random.uniform(jax.random.PRNGKey(1), (C, model.dim),
                             minval=-2.0, maxval=2.0, dtype=dtype)
     run = jax.jit(
         lambda k, z: run_pooled_chains(
             k, z, model.logp, num_warmup=warm, num_samples=samp,
-            max_depth=10, target_accept=0.9,
+            max_depth=max_depth, target_accept=0.9,
         )
     )
     _force(run(keys, z0))

@@ -53,7 +53,7 @@ JITTER = 1e-3
 
 
 def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
-            warm_chunk=None):
+            warm_chunk=None, accept=0.8):
     xj, yj = args
 
     def logp(z):
@@ -72,7 +72,7 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
         chunk_size=chunk,
         warmup_chunk_size=chunk if warm_chunk is None else warm_chunk,
         max_depth=depth,
-        target_accept=0.8,
+        target_accept=accept,
         init_radius=0.5,
         dtype=jnp.float32,
     )
@@ -116,12 +116,17 @@ def main():
     # Dispatch sizing (measured, v5e relay): the worker kills any single
     # dispatch running ~90 s+ (a 97-s saturated-tree warmup segment died;
     # 31-39 s dispatches and a 16-min stream of 123 ms dispatches
-    # survive).  Worst case here: 31 leapfrogs x 125 ms x chunk.
+    # survive).  Config from the r4 sweep (`probe_gp_marginal`,
+    # artifacts/gp_marginal_sweep_r4.jsonl): depth cap 3 + accept 0.75
+    # cuts the worst-lane tree tax ~5x vs depth 5 at equal ESS/draw
+    # (1.24 -> 4.21 ESS/s at sweep size, zero divergences); 64 chains is
+    # throughput-neutral (chol cost scales with chains).  Worst case per
+    # chunk: 7 leapfrogs x ~165 ms x 30 = 35 s.
     marg = gp_regression.make_marginal(N, jitter=JITTER)
     m = run_leg(
         marg, args, num_chains=32,
         warm=_env("GP_MARG_WARM", 200), samp=_env("GP_MARG_SAMP", 300),
-        depth=5, chunk=10, warm_chunk=8, tag="marg",
+        depth=3, accept=0.75, chunk=30, warm_chunk=25, tag="marg",
     )
     # flush the headline leg the moment it exists: a worker crash or a
     # driver timeout in the (longer) latent leg must not void it.  Partials
@@ -134,7 +139,7 @@ def main():
     # Guarded: a worker crash in the long 2003-dim leg must not void the
     # already-computed marginal headline.
     lat_model = gp_regression.make(N, jitter=JITTER)
-    lat_warm, lat_samp = _env("GP_LAT_WARM", 200), _env("GP_LAT_SAMP", 150)
+    lat_warm, lat_samp = _env("GP_LAT_WARM", 200), _env("GP_LAT_SAMP", 300)
     try:
         lat = run_leg(
             lat_model, args, num_chains=32, warm=lat_warm, samp=lat_samp,

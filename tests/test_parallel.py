@@ -192,3 +192,34 @@ def test_chunked_pooled_sharded_bit_identical():
         np.asarray(ref.n_leapfrog), np.asarray(got.n_leapfrog)
     )
     assert float(ref.step_size) == float(got.step_size)
+
+
+def test_chunked_pooled_args_are_operands():
+    """Data passed via args= must flow through the chunked segment
+    dispatches as traced operands in BOTH the local and the mesh path
+    (regression: closure-captured data bakes into the compiled program),
+    and both paths must recover a GLM posterior."""
+    from math_tpu.infer.pooled import run_pooled_chains_chunked
+
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.normal(size=(120, 3)))
+    bt = jnp.asarray([0.8, -0.5, 0.2])
+    y = jnp.asarray(
+        (rng.uniform(size=120) < 1 / (1 + np.exp(-np.asarray(X @ bt)))).astype(float)
+    )
+
+    def logp(beta, X, y):
+        return dists.bernoulli_logit_glm_lpmf(
+            y, X, 0.0, beta, propto=True
+        ) + dists.normal_lpdf(beta, 0.0, 1.0, propto=True)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 16)
+    z0 = jnp.asarray(rng.normal(size=(16, 3)) * 0.1)
+    kw = dict(args=(X, y), num_warmup=60, num_samples=60, max_depth=6,
+              warmup_chunk=25, sample_chunk=25)
+    local = run_pooled_chains_chunked(keys, z0, logp, **kw)
+    sh = run_pooled_chains_chunked(keys, z0, logp, mesh=chain_mesh(), **kw)
+    for r in (local, sh):
+        pos = np.asarray(r.position).reshape(-1, 3)
+        assert np.isfinite(pos).all()
+        assert np.abs(pos.mean(0) - np.asarray(bt)).max() < 0.6

@@ -38,9 +38,10 @@ BENCHES = [
         "benches.bench_gp",
         {
             "GP_MARG_WARM": "150",
-            "GP_MARG_SAMP": "200",
+            "GP_MARG_SAMP": "400",
             "GP_LAT_WARM": "100",
             "GP_LAT_SAMP": "80",
+            "GP_SMC_PARTICLES": "256",
         },
         7200,
     ),

@@ -44,6 +44,13 @@ def main():
     )
     keys = jax.random.split(key, num_chains)
 
+    # max_depth 6, not Stan's default 10 (r4 depth-cap probe,
+    # artifacts/eight_schools_depthcap_r4.jsonl): the transition's
+    # bookkeeping (checkpoint stacks, worst-lane budget) scales with the
+    # PROGRAM's depth cap, so depth 10 cost 4.8x the wall at IDENTICAL
+    # min-ESS (296k both ways; adapted mean tree depth is 3.3, so the cap
+    # is almost never the binding constraint — saturation rate reported
+    # in the detail dict, the Stan max-treedepth-warning analog).
     run = jax.jit(
         lambda k, z: run_pooled_chains(
             k,
@@ -51,7 +58,7 @@ def main():
             model.logp,
             num_warmup=num_warmup,
             num_samples=num_samples,
-            max_depth=10,
+            max_depth=6,
             target_accept=0.9,
         )
     )
@@ -108,6 +115,10 @@ def main():
             "flops_per_grad_eval": fpg,
             **tele,
             "divergence_rate": float(np.asarray(res.diverging).mean()),
+            "max_depth": 6,
+            "treedepth_hit_rate": float(
+                (np.asarray(res.tree_depth) >= 6).mean()
+            ),
         },
     }
     print(json.dumps(out))

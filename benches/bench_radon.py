@@ -48,7 +48,12 @@ def main():
     run = jax.jit(
         lambda k, z, *a: run_pooled_chains(
             k, z, model.logp, args=a,
-            num_warmup=warm, num_samples=samp, max_depth=8, target_accept=0.85,
+            # depth cap 6 (r4, artifacts/radon_depthcap_r4.jsonl): radon's
+            # adapted mean tree depth is 4.0, so 6 never saturates
+            # (hit rate 0) and trims program-size bookkeeping vs 8
+            # (36.7k vs 34.9k ESS/s); 5 truncates real trajectories
+            # (min-ESS collapses 138k -> 49k, divergences rise).
+            num_warmup=warm, num_samples=samp, max_depth=6, target_accept=0.85,
         )
     )
     wall, res = timed(run, keys, z0, *args)

@@ -8,8 +8,8 @@ Baseline: CPU Stan (CmdStan, 4 chains) on eight-schools achieves roughly
 reference repo publishes no numbers — BASELINE.md).  The north-star target
 is >=10x per chip, i.e. 25,000 ESS/s.
 
-Method: 512 vmapped chains, Stan-default windowed warmup (500) + 500 draws,
-f32 on TPU.  Value = min bulk-ESS across the 10 unconstrained coordinates
+Method: 1024 vmapped chains, Stan-default windowed warmup (500) + 500
+draws, f32 on TPU, depth cap 6 (see inline note).  Value = min bulk-ESS across the 10 unconstrained coordinates
 divided by total wall time (warmup + sampling, excluding compile — compile
 is cached across runs in production serving).
 """
@@ -31,8 +31,8 @@ def main():
     from math_tpu.models import eight_schools
 
     model = eight_schools.make()
-    # chains sweep (v5e): 512 -> 27.0k, 1024 -> 33.7k, 2048 -> 31.5k ESS/s;
-    # 1024 best amortizes the VPU without over-lengthening the masked trees
+    # chains sweep (v5e, depth 10): 512 -> 25.3k, 1024 -> 41.5k, 2048 ->
+    # 35.8k, 4096 -> 31.1k ESS/s (probe_8schools_cliff); 1024 optimum
     num_chains = 1024
     num_warmup, num_samples = 500, 500
     dtype = jnp.float32

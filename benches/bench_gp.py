@@ -95,7 +95,7 @@ def run_leg(model, args, *, num_chains, warm, samp, depth, chunk, tag,
         "gflops_per_sec": round(flops / wall / 1e9, 1),
         "post_mean": [round(float(v), 4) for v in mon.mean(0)],
         "post_sd": [round(float(v), 4) for v in mon.std(0)],
-    }
+    }, pos
 
 
 def main():
@@ -126,9 +126,10 @@ def main():
     # warmup the way production chains do (Stan default is 1000+1000) —
     # 6.72 ESS/s = 13.4x the CPU-Stan estimate, divergence rate 4e-5.
     marg = gp_regression.make_marginal(N, jitter=JITTER)
-    m = run_leg(
+    marg_samp = _env("GP_MARG_SAMP", 850)
+    m, marg_pos = run_leg(
         marg, args, num_chains=32,
-        warm=_env("GP_MARG_WARM", 150), samp=_env("GP_MARG_SAMP", 850),
+        warm=_env("GP_MARG_WARM", 150), samp=marg_samp,
         depth=3, accept=0.75, chunk=30, warm_chunk=25, tag="marg",
     )
     # flush the headline leg the moment it exists: a worker crash or a
@@ -138,22 +139,73 @@ def main():
     print(json.dumps({"partial": "gp_marginal", **m}),
           file=sys.stderr, flush=True)
 
-    # --- latent-f leg (BASELINE.md config shape), honest ESS/s.
-    # Guarded: a worker crash in the long 2003-dim leg must not void the
-    # already-computed marginal headline.
-    lat_model = gp_regression.make(N, jitter=JITTER)
-    lat_warm, lat_samp = _env("GP_LAT_WARM", 200), _env("GP_LAT_SAMP", 300)
+    # --- latent-f leg (BASELINE.md config 5's named parameterization).
+    # Production path (r5): the latent-f posterior factorizes as
+    # p(theta|y) p(f|y,theta) for the Gaussian likelihood, so the latent
+    # field is recovered EXACTLY from the marginal chain via Matheron
+    # pathwise conditioning (gp_regression.sample_latent_conditional;
+    # parity vs direct latent NUTS asserted in tests/test_gp_recovery.py).
+    # Same joint posterior over (rho, alpha, sigma, f) as NUTS on the
+    # 2003-dim Cholesky-parameterized model, at marginal mixing speed —
+    # direct NUTS on the 2003-dim model measures 0.009-0.025 ESS/s on TPU
+    # and CPU alike because within-chain hyperparameter mixing is
+    # near-zero for ANY sampler (r4 measurements + chain-sweep ceiling
+    # analysis, artifacts/gp_latent_ceiling_r5*).  GP_LAT_DIRECT=1 runs
+    # that direct leg instead (ceiling-probe mode).
     try:
-        lat = run_leg(
-            lat_model, args, num_chains=32, warm=lat_warm, samp=lat_samp,
-            depth=6, chunk=5, warm_chunk=4, tag="latent",
-        )
-        # same-leapfrog-budget CPU wall (0.5 s/leapfrog, chains parallel);
-        # guard: min_ess == 0 (degenerate tiny override) would be 0/0
-        cpu_eps = lat["min_ess"] / ((lat_warm + lat_samp) * (2**6 - 1) * 0.5)
-        lat_budget_ratio = (
-            lat["ess_per_sec"] / cpu_eps if cpu_eps > 0 else -1.0
-        )
+        if os.environ.get("GP_LAT_DIRECT", "0") == "1":
+            lat_model = gp_regression.make(N, jitter=JITTER)
+            lat_warm = _env("GP_LAT_WARM", 200)
+            lat_samp = _env("GP_LAT_SAMP", 300)
+            lat, _ = run_leg(
+                lat_model, args, num_chains=32, warm=lat_warm,
+                samp=lat_samp, depth=6, chunk=5, warm_chunk=4,
+                tag="latent",
+            )
+            lat["method"] = "direct_nuts_2003dim"
+            cpu_eps = lat["min_ess"] / (
+                (lat_warm + lat_samp) * (2**6 - 1) * 0.5
+            )
+            lat_budget_ratio = (
+                lat["ess_per_sec"] / cpu_eps if cpu_eps > 0 else -1.0
+            )
+        else:
+            thin = _env("GP_LAT_THIN", 4)
+            ths_u = jnp.asarray(marg_pos)[:, ::thin, :]  # (C, S/thin, 3)
+            n_chain, n_thin = ths_u.shape[0], ths_u.shape[1]
+            hyp = marg.transform_draws(ths_u.reshape(-1, 3))
+            ths = jnp.stack(
+                [hyp["rho"], hyp["alpha"], hyp["sigma"]], axis=-1
+            )
+            t0 = time.perf_counter()
+            fs = gp_regression.sample_latent_conditional(
+                jax.random.PRNGKey(42), ths, args[0], args[1],
+                jitter=JITTER, batch=_env("GP_LAT_BATCH", 16),
+            )
+            fs = np.asarray(fs, np.float32)  # forces the device work
+            rec_wall = time.perf_counter() - t0
+            from math_tpu.diagnostics import ess_bulk
+
+            f_ch = fs.reshape(n_chain, n_thin, N)
+            f_coords = [0, N // 4, N // 2, 3 * N // 4, N - 1]
+            f_ess = [
+                float(ess_bulk(f_ch[:, :, i])) for i in f_coords
+            ]
+            wall = m["wall_s"] + rec_wall
+            min_ess = min(m["min_ess"], min(f_ess))
+            lat = {
+                "method": "marginal_nuts+exact_conditional_matheron",
+                "wall_s": round(wall, 2),
+                "chains": n_chain,
+                "f_draws": int(n_chain * n_thin),
+                "recovery_wall_s": round(rec_wall, 2),
+                "min_ess": round(min_ess, 1),
+                "ess_per_sec": round(min_ess / wall, 4),
+                "min_f_ess": round(min(f_ess), 1),
+                "f_post_sd_median": round(float(np.median(f_ch.std((0, 1)))), 4),
+                "divergence_rate": m["divergence_rate"],
+            }
+            lat_budget_ratio = -1.0  # n/a: not a budget-matched NUTS leg
         print(json.dumps({"partial": "gp_latent", **lat}),
               file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover - hardware-dependent

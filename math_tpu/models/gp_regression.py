@@ -21,6 +21,7 @@ from math_tpu.model import make_log_density
 from math_tpu.ops import gp as gp_ops
 from math_tpu.ops.cholesky import (
     cholesky_decompose_tpu,
+    mdivide_left_tri_low_tpu,
     spd_solve_logdiag_tpu,
 )
 
@@ -58,6 +59,82 @@ def make(n: int, jitter=1e-8):
         },
         log_prob,
     )
+
+
+def _mdivide_upper_from_lower(L, b):
+    """(L^T)^{-1} b through the blocked LOWER solve: with P the index
+    reversal, P L^T P is lower-triangular, so the upper solve is a flip,
+    a lower solve, and a flip back (keeps the n~2000 path off XLA's
+    pathologically-compiling triangular_solve lowering)."""
+    Lf = jnp.flip(jnp.swapaxes(L, -1, -2), (-2, -1))
+    return jnp.flip(mdivide_left_tri_low_tpu(Lf, jnp.flip(b, -1)), -1)
+
+
+def sample_latent_conditional(key, hyper_draws, x, y, *, jitter=1e-3,
+                              batch=16):
+    """Exact draws of the latent f given hyperparameter draws: f | y, theta.
+
+    For the Gaussian likelihood the latent field is conditionally
+    Gaussian, so the latent-f posterior factorizes as
+    p(theta | y) p(f | y, theta) and f can be recovered EXACTLY from
+    marginal-NUTS hyperparameter draws — the same posterior as NUTS on
+    the 2003-dim Cholesky-parameterized latent model, at marginal-model
+    mixing speed.  (Stan's GP docs do exactly this: marginalize f,
+    redraw it in generated quantities; ref: gp_exp_quad_cov.hpp users +
+    multi_normal_rng.hpp.)
+
+    Sampling uses Matheron's rule (pathwise conditioning) to avoid the
+    f32-catastrophic cancellation of forming K - K A^{-1} K directly:
+
+        f0 ~ N(0, K);  y0 = f0 + sigma z;  A = K + sigma^2 I
+        f  = f0 + K A^{-1} (y - y0)   ~  N(K A^{-1} y, K - K A^{-1} K)
+
+    ``hyper_draws``: (M, 3) CONSTRAINED (rho, alpha, sigma) draws.
+    Returns (M, n) draws of f.  ``batch`` bounds HBM (each lane holds two
+    n x n factorizations); draws stream through ``lax.map`` in batches.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    hyper_draws = jnp.asarray(hyper_draws)
+    m = hyper_draws.shape[0]
+
+    def one(k, th):
+        rho, alpha, sigma = th[0], th[1], th[2]
+        kmat = gp_ops.add_diag(gp_ops.gp_exp_quad_cov(x, alpha, rho), jitter)
+        amat = gp_ops.add_diag(kmat, jnp.square(sigma))
+        k1, k2 = jax.random.split(k)
+        z1 = jax.random.normal(k1, (n,), x.dtype)
+        z2 = jax.random.normal(k2, (n,), x.dtype)
+        lk = cholesky_decompose_tpu(kmat)
+        la = cholesky_decompose_tpu(amat)
+        with jax.default_matmul_precision("float32"):
+            f0 = lk @ z1
+            resid = y - f0 - sigma * z2
+            w = _mdivide_upper_from_lower(
+                la, mdivide_left_tri_low_tpu(la, resid)
+            )
+            # kmat (with its jitter) IS the latent model's prior
+            # covariance — make(n, jitter) factors K + jitter*I too, so
+            # using it throughout matches that posterior exactly
+            return f0 + kmat @ w
+
+    def run_batch(inp):
+        ks, ths = inp
+        return jax.vmap(one)(ks, ths)
+
+    mpad = -(-m // batch) * batch
+    keys = jax.random.split(key, mpad)
+    ths = jnp.concatenate(
+        [hyper_draws, jnp.broadcast_to(hyper_draws[-1:],
+                                       (mpad - m, 3))], axis=0
+    )
+    fs = jax.lax.map(
+        run_batch,
+        (keys.reshape(mpad // batch, batch, *keys.shape[1:]),
+         ths.reshape(mpad // batch, batch, 3)),
+    )
+    return fs.reshape(mpad, n)[:m]
 
 
 def make_marginal(n: int, jitter=1e-3):

@@ -9,7 +9,8 @@ reference repo publishes no numbers — BASELINE.md).  The north-star target
 is >=10x per chip, i.e. 25,000 ESS/s.
 
 Method: 1024 vmapped chains, Stan-default windowed warmup (500) + 500
-draws, f32 on TPU, depth cap 6 (see inline note).  Value = min bulk-ESS across the 10 unconstrained coordinates
+draws, f32 on TPU, AUTO-sized depth cap (see inline note; no hand-set
+max_depth).  Value = min bulk-ESS across the 10 unconstrained coordinates
 divided by total wall time (warmup + sampling, excluding compile — compile
 is cached across runs in production serving).
 """
@@ -27,7 +28,6 @@ import benches.common  # noqa: F401  (sets the shared persistent compile cache)
 
 def main():
     from math_tpu.diagnostics import ess_bulk
-    from math_tpu.infer.pooled import run_pooled_chains
     from math_tpu.models import eight_schools
 
     model = eight_schools.make()
@@ -44,40 +44,48 @@ def main():
     )
     keys = jax.random.split(key, num_chains)
 
-    # max_depth 6, not Stan's default 10 (r4 depth-cap probe,
-    # artifacts/eight_schools_depthcap_r4.jsonl): the transition's
+    # AUTO depth cap (r4 root cause, r5 auto-sizing): the transition's
     # bookkeeping (checkpoint stacks, worst-lane budget) scales with the
     # PROGRAM's depth cap, so depth 10 cost 4.8x the wall at IDENTICAL
-    # min-ESS (296k both ways; adapted mean tree depth is 3.3, so the cap
-    # is almost never the binding constraint — saturation rate reported
-    # in the detail dict, the Stan max-treedepth-warning analog).
-    run = jax.jit(
-        lambda k, z: run_pooled_chains(
+    # min-ESS (296k both ways; adapted mean tree depth 3.3).  The chunked
+    # pooled driver probes the first 100 warmup steps at the ceiling (10)
+    # and auto-sizes the cap for the rest (adapt.choose_depth_cap);
+    # saturation rate is reported in the detail dict (the Stan
+    # max-treedepth-warning analog).  No hand-set max_depth.
+    from math_tpu.infer.pooled import run_pooled_chains_chunked
+
+    def run(k, z):
+        return run_pooled_chains_chunked(
             k,
             z,
             model.logp,
             num_warmup=num_warmup,
             num_samples=num_samples,
-            max_depth=6,
+            max_depth=10,
+            auto_depth=True,
             target_accept=0.9,
+            warmup_chunk=100,
+            sample_chunk=500,
         )
-    )
 
-    # compile (not timed: amortized in production); forcing uses an
+    # compile (not timed: amortized in production) with the SAME inputs as
+    # the timed run — the auto-chosen cap is deterministic in the inputs,
+    # so the second call reuses every jitted segment; forcing uses an
     # on-device scalar checksum — block_until_ready can return early on
     # remote-proxy backends, and pulling the full draw array through the
     # relay tunnel measures the tunnel, not the sampler (see
     # benches/common._force)
     from benches.common import _force
 
-    res = run(keys, z0)
+    keys2 = jax.random.split(jax.random.PRNGKey(7), num_chains)
+    res = run(keys2, z0)
     _force(res)
 
-    keys2 = jax.random.split(jax.random.PRNGKey(7), num_chains)
     t0 = time.perf_counter()
     res = run(keys2, z0)
     _force(res)
     dt = time.perf_counter() - t0
+    cap = int(res.max_depth)
     pos = jax.device_get(res.position)
 
     pos = np.nan_to_num(np.asarray(pos), nan=0.0)  # (chains, samples, dim)
@@ -115,9 +123,10 @@ def main():
             "flops_per_grad_eval": fpg,
             **tele,
             "divergence_rate": float(np.asarray(res.diverging).mean()),
-            "max_depth": 6,
+            "max_depth": cap,
+            "max_depth_auto": True,
             "treedepth_hit_rate": float(
-                (np.asarray(res.tree_depth) >= 6).mean()
+                (np.asarray(res.tree_depth) >= cap).mean()
             ),
         },
     }

@@ -17,7 +17,7 @@ from benches.common import (
     timed,
 )
 from math_tpu.infer.advi import advi
-from math_tpu.infer.pooled import run_pooled_chains
+from math_tpu.infer.pooled import run_pooled_chains_chunked
 from math_tpu.models import radon
 
 
@@ -45,18 +45,23 @@ def main():
         jax.random.PRNGKey(1), (num_chains, model.dim), minval=-1.0, maxval=1.0,
         dtype=jnp.float32,
     )
-    run = jax.jit(
-        lambda k, z, *a: run_pooled_chains(
+    # AUTO depth cap (r5; was hand-set 6 in r4): radon's adapted mean tree
+    # depth is 4.0, so choose_depth_cap lands at 6 — never saturates (hit
+    # rate ~0) and trims program-size bookkeeping vs 8 (36.7k vs 34.9k
+    # ESS/s at the r4 sweep), while 5 truncates real trajectories
+    # (min-ESS collapses 138k -> 49k).  The chunked pooled driver probes
+    # the first 100 warmup steps at ceiling 10 and sizes the cap itself
+    # (artifacts/radon_depthcap_r4.jsonl for the underlying sweep).
+    def run(k, z, *a):
+        return run_pooled_chains_chunked(
             k, z, model.logp, args=a,
-            # depth cap 6 (r4, artifacts/radon_depthcap_r4.jsonl): radon's
-            # adapted mean tree depth is 4.0, so 6 never saturates
-            # (hit rate 0) and trims program-size bookkeeping vs 8
-            # (36.7k vs 34.9k ESS/s); 5 truncates real trajectories
-            # (min-ESS collapses 138k -> 49k, divergences rise).
-            num_warmup=warm, num_samples=samp, max_depth=6, target_accept=0.85,
+            num_warmup=warm, num_samples=samp, max_depth=10,
+            auto_depth=True, target_accept=0.85,
+            warmup_chunk=100, sample_chunk=samp,
         )
-    )
+
     wall, res = timed(run, keys, z0, *args)
+    cap = int(res.max_depth)
     min_ess, eps_s = min_ess_per_sec(res.position, wall, coords=range(5))
     grads = int(np.asarray(res.n_leapfrog).sum())  # sampling window only
     fpg = leapfrog_flops(
@@ -126,6 +131,11 @@ def main():
             "flops_per_grad_eval": fpg,
             **tele,
             "divergence_rate": float(np.asarray(res.diverging).mean()),
+            "max_depth": cap,
+            "max_depth_auto": True,
+            "treedepth_hit_rate": float(
+                (np.asarray(res.tree_depth) >= cap).mean()
+            ),
             **advi_detail,
         },
     )

@@ -147,6 +147,55 @@ def warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25):
     return in_slow, window_end
 
 
+def choose_depth_cap(depths, user_cap, margin=2, quantile=0.98):
+    """Auto-size the NUTS tree-depth cap from observed warmup tree depths.
+
+    The transition's cost scales with the PROGRAM's ``max_depth``
+    (checkpoint-stack sizes and, under ``vmap``, the worst-lane tree
+    budget) — not the adapted depth: capping 10 -> 6 on eight-schools cut
+    wall 4.8x at identical ESS, while a cap at/below the adapted depth
+    truncates real trajectories (radon: cap 5 collapsed min-ESS 138k ->
+    49k).  Rule (measured, BENCHMARKS.md r4): the cap must clear the
+    adapted mean depth by ~``margin`` AND cover the bulk of observed
+    transitions, so
+
+        cap = min(user_cap, max(ceil(mean) + margin, q{quantile} + 1))
+
+    ``depths``: any array of observed tree depths (host numpy ok).
+    Returns an int in [2, user_cap].
+    """
+    d = np.asarray(depths).reshape(-1)
+    if d.size == 0:
+        return int(user_cap)
+    mean = float(d.mean())
+    q = int(np.quantile(d, quantile))
+    cap = max(int(np.ceil(mean)) + margin, q + 1)
+    return int(np.clip(cap, 2, user_cap))
+
+
+def treedepth_saturation(tree_depth, cap):
+    """Fraction of transitions whose tree hit the depth cap (the Stan
+    max-treedepth-warning analog; report it whenever a cap is set)."""
+    return float(np.mean(np.asarray(tree_depth) >= cap))
+
+
+def warn_on_treedepth_saturation(tree_depth, cap, threshold=0.05):
+    """Warn when the sampling-phase saturation rate exceeds ``threshold``
+    (trajectories are being truncated — raise the cap or re-run with
+    ``auto_depth`` and a larger ``max_depth`` ceiling)."""
+    import warnings
+
+    rate = treedepth_saturation(tree_depth, cap)
+    if rate > threshold:
+        warnings.warn(
+            f"NUTS tree-depth cap {cap} was hit on {100.0 * rate:.1f}% of "
+            f"transitions (> {100.0 * threshold:.0f}%); trajectories are "
+            "being truncated — raise max_depth (or the auto_depth ceiling)",
+            stacklevel=2,
+        )
+    return rate
+
+
 def find_reasonable_step_size(key, logp_grad_fn, state: IntegratorState,
                               inv_mass, eps0=1.0, max_iter=100):
     """Stan/NUTS-paper init heuristic: double/halve eps until the one-step

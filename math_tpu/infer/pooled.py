@@ -35,6 +35,7 @@ class PooledResult(NamedTuple):
     energy: jnp.ndarray
     step_size: jnp.ndarray  # scalar (shared)
     inv_mass: jnp.ndarray  # (dim,) shared
+    max_depth: int = 10  # sampling-phase cap actually used (auto or user)
 
 
 def _pmean(x, axis_name):
@@ -123,13 +124,20 @@ def _make_pooled_machine(
         da, wf, inv_mass = jax.lax.cond(
             win_end, finish, lambda a: a, (da, wf, inv_mass)
         )
-        return (states, da, wf, inv_mass, t + 1), None
+        # pooled per-step tree-depth histogram (cross-chain, cross-device):
+        # the auto-depth driver sizes the sampling-phase cap from the tail
+        # of these (adapt.choose_depth_cap)
+        hist = _psum(
+            jax.nn.one_hot(stats.tree_depth, max_depth + 1, dtype=jnp.int32),
+            axis_name,
+        )
+        return (states, da, wf, inv_mass, t + 1), hist
 
     def warmup_seg(carry, in_slow_seg, window_end_seg):
-        carry, _ = jax.lax.scan(
+        carry, hists = jax.lax.scan(
             warmup_step, carry, (in_slow_seg, window_end_seg)
         )
-        return carry
+        return carry, hists
 
     def sample_seg(states, t, eps_final, inv_mass, n):
         def sample_step(carry, _):
@@ -179,7 +187,7 @@ def _segment_dispatch_fns(
             keys_l, logdensity_fn, args_r, max_depth, target_accept,
             axis if mesh is not None else None, dt, dim,
         )
-        return warmup_seg(carry, in_slow, win_end)
+        return warmup_seg(carry, in_slow, win_end)  # -> (carry, hists)
 
     def samp_local_factory(n):
         def samp_local(states, t, eps_final, inv_mass, keys_l, args_r):
@@ -215,7 +223,7 @@ def _segment_dispatch_fns(
         jax.shard_map(
             warm_local, mesh=mesh,
             in_specs=(carry_spec, P(), P(), P(axis), P()),
-            out_specs=carry_spec,
+            out_specs=(carry_spec, P()),
         )
     )
     samp_cache = {}
@@ -236,7 +244,7 @@ def _segment_dispatch_fns(
     return init_j, warm_j, samp_j
 
 
-def _pooled_result(zs, stats, eps_final, inv_mass):
+def _pooled_result(zs, stats, eps_final, inv_mass, max_depth=10):
     # (num_samples, local_chains, dim) -> (local_chains, num_samples, dim)
     zs = jnp.swapaxes(zs, 0, 1)
     stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), stats)
@@ -249,6 +257,7 @@ def _pooled_result(zs, stats, eps_final, inv_mass):
         energy=stats.energy,
         step_size=eps_final,
         inv_mass=inv_mass,
+        max_depth=max_depth,
     )
 
 
@@ -277,7 +286,7 @@ def run_pooled_chains(
         keys, logdensity_fn, args, max_depth, target_accept, axis_name, dt, dim
     )
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
-    states, da, wf, inv_mass, t = warmup_seg(
+    (states, da, wf, inv_mass, t), _ = warmup_seg(
         init(z0s), jnp.asarray(in_slow_np), jnp.asarray(window_end_np)
     )
     eps_final = jnp.where(
@@ -286,7 +295,7 @@ def run_pooled_chains(
     states, _, zs, stats = sample_seg(
         states, t, eps_final, inv_mass, num_samples
     )
-    return _pooled_result(zs, stats, eps_final, inv_mass)
+    return _pooled_result(zs, stats, eps_final, inv_mass, max_depth)
 
 
 def run_pooled_chains_chunked(
@@ -303,6 +312,10 @@ def run_pooled_chains_chunked(
     sample_chunk: int = 100,
     mesh=None,
     axis: str = "chain",
+    auto_depth: bool = False,
+    depth_probe: int = 100,
+    depth_margin: int = 2,
+    treedepth_warn_threshold: float = 0.05,
 ) -> PooledResult:
     """``run_pooled_chains`` executed as bounded device dispatches.
 
@@ -319,7 +332,19 @@ def run_pooled_chains_chunked(
     divide the mesh size) are sharded, pooled warmup statistics ride
     ``pmean``/``psum`` over ICI, and the returned draws carry the global
     chain axis — the multi-chip production path for long runs.
+
+    ``auto_depth=True``: the first ``depth_probe`` warmup steps run at the
+    full ``max_depth`` ceiling; the cap for the REST of warmup and all of
+    sampling is then auto-sized from the probe tail's pooled tree-depth
+    histogram via ``adapt.choose_depth_cap`` (the transition's cost
+    scales with the PROGRAM's cap — see that docstring for the measured
+    4.8x).  The chosen cap is returned as ``PooledResult.max_depth`` and
+    a warning fires if the sampling-phase saturation rate exceeds
+    ``treedepth_warn_threshold``.  Draws are NOT bit-identical to a
+    fixed-cap run (a different — still valid — sampler config).
     """
+    import numpy as np
+
     dt = z0s.dtype
     _, dim = z0s.shape
     args = tuple(args)
@@ -330,9 +355,15 @@ def run_pooled_chains_chunked(
 
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
     carry = init_j(keys, z0s, args)
-    for s in range(0, num_warmup, warmup_chunk):
+    cap = max_depth
+    probe = min(depth_probe, num_warmup) if auto_depth else 0
+    s = 0
+    probe_hists = []
+    while s < num_warmup:
         e = min(s + warmup_chunk, num_warmup)
-        carry = warm_j(
+        if auto_depth and s < probe < e:
+            e = probe  # split a chunk at the probe boundary
+        carry, hists = warm_j(
             carry,
             jnp.asarray(in_slow_np[s:e]),
             jnp.asarray(window_end_np[s:e]),
@@ -342,6 +373,21 @@ def run_pooled_chains_chunked(
         # scalar host sync: bounds the dispatch stream and surfaces a
         # killed dispatch at the segment that died
         jax.device_get(carry[1].log_eps)
+        if auto_depth and s < probe:
+            probe_hists.append(np.asarray(hists))
+        s = e
+        if auto_depth and s == probe:
+            # size the cap from the probe TAIL (step size has settled by
+            # then; the init buffer's transient depths would bias it)
+            h = np.concatenate(probe_hists, axis=0)  # (probe, max_depth+1)
+            h = h[h.shape[0] // 2 :].sum(axis=0)
+            depths = np.repeat(np.arange(h.shape[0]), h)
+            cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
+            if cap != max_depth:
+                init_j, warm_j, samp_j = _segment_dispatch_fns(
+                    logdensity_fn, cap, target_accept, dt, dim,
+                    mesh=mesh, axis=axis,
+                )
     states, da, wf, inv_mass, t = carry
     eps_final = jnp.where(
         num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
@@ -361,4 +407,8 @@ def run_pooled_chains_chunked(
     stats = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0), *stats_parts
     )
-    return _pooled_result(zs, stats, eps_final, inv_mass)
+    if auto_depth:
+        adapt.warn_on_treedepth_saturation(
+            np.asarray(stats.tree_depth), cap, treedepth_warn_threshold
+        )
+    return _pooled_result(zs, stats, eps_final, inv_mass, cap)

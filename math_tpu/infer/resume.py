@@ -67,15 +67,15 @@ def _warmup_chains(logdensity_fn, keys, z0s, num_warmup, max_depth, target_accep
             da, wf, inv_mass = jax.lax.cond(
                 win_end, finish, lambda a: a, (da, wf, inv_mass)
             )
-            return (state, da, wf, inv_mass, key), None
+            return (state, da, wf, inv_mass, key), stats.tree_depth
 
-        (state, da, wf, inv_mass, key), _ = jax.lax.scan(
+        (state, da, wf, inv_mass, key), depths = jax.lax.scan(
             step,
             (state, da, wf, inv_mass, key),
             (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
         )
         eps = jnp.where(num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps))
-        return state, eps, inv_mass, key
+        return state, eps, inv_mass, key, depths
 
     return jax.vmap(one)(keys, z0s)
 
@@ -135,12 +135,12 @@ def _warmup_segment(
             da, wf, inv_mass = jax.lax.cond(
                 win_end, finish, lambda a: a, (da, wf, inv_mass)
             )
-            return (state, da, wf, inv_mass, key), None
+            return (state, da, wf, inv_mass, key), stats.tree_depth
 
-        (state, da, wf, inv_mass, key), _ = jax.lax.scan(
+        (state, da, wf, inv_mass, key), depths = jax.lax.scan(
             step, (state, da, wf, inv_mass, key), (in_slow_seg, window_end_seg)
         )
-        return state, da, wf, inv_mass, key
+        return (state, da, wf, inv_mass, key), depths
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(*carry)
 
@@ -153,12 +153,14 @@ def _sample_chunk(logdensity_fn, states, eps, inv_mass, keys, chunk, max_depth):
             state, key = carry
             key, k = jax.random.split(key)
             state, stats = nuts_kernel(k, state, logp_grad, e, im, max_depth)
-            return (state, key), (state.z, stats.diverging, stats.n_leapfrog)
+            return (state, key), (
+                state.z, stats.diverging, stats.n_leapfrog, stats.tree_depth
+            )
 
-        (state, key), (zs, div, nlf) = jax.lax.scan(
+        (state, key), (zs, div, nlf, td) = jax.lax.scan(
             step, (state, key), None, length=chunk
         )
-        return state, key, zs, div, nlf
+        return state, key, zs, div, nlf, td
 
     return jax.vmap(one)(states, eps, inv_mass, keys)
 
@@ -179,12 +181,25 @@ def sample_nuts_checkpointed(
     init_radius: float = 2.0,
     dtype=jnp.float64,
     draw_store_path: Optional[str] = None,
+    auto_depth: bool = False,
+    depth_probe: int = 100,
+    depth_margin: int = 2,
+    treedepth_warn_threshold: float = 0.05,
 ):
     """NUTS with periodic checkpointing; restarts resume automatically.
 
     ``draw_store_path``: also stream each chunk to the native append-only
     draw log (``math_tpu.io.draw_store``) — crash-safe output that survives
     even if the orbax checkpoint directory is lost.
+
+    ``auto_depth=True``: the first ``depth_probe`` warmup steps run at the
+    ``max_depth`` ceiling; the cap for the rest of warmup (segmented path)
+    and all of sampling is auto-sized from the probe tail's tree-depth
+    distribution (``adapt.choose_depth_cap`` — transition cost scales with
+    the PROGRAM's cap, measured 4.8x).  The chosen cap persists in the
+    checkpoint so a resumed run continues bit-identically; the sampling
+    saturation rate is reported in ``info`` and warned on above
+    ``treedepth_warn_threshold``.
 
     Returns (positions (chains, num_samples, dim), diverging, info dict).
     """
@@ -193,11 +208,7 @@ def sample_nuts_checkpointed(
             logdensity_fn, keys, z0, num_warmup, max_depth, target_accept
         )
     )
-    chunk_fn = jax.jit(
-        partial(
-            _sample_chunk, logdensity_fn, chunk=chunk_size, max_depth=max_depth
-        )
-    )
+    cap = max_depth
 
     if checkpoint_exists(checkpoint_path):
         ck = load_checkpoint(checkpoint_path)
@@ -228,6 +239,7 @@ def sample_nuts_checkpointed(
         draws = [np.asarray(ck["draws"])]
         divs = [np.asarray(ck["divs"])]
         done = int(ck["done"])
+        cap = int(ck.get("max_depth_used", max_depth))
     else:
         key, k_init = jax.random.split(key)
         from math_tpu.infer.sample import (
@@ -242,7 +254,14 @@ def sample_nuts_checkpointed(
         keys = jax.random.split(key, num_chains)
         check_init_logdensity(logdensity_fn, z0)
         if warmup_chunk_size is None:
-            states, eps, inv_mass, keys = warm(keys, z0)
+            states, eps, inv_mass, keys, wdepths = warm(keys, z0)
+            if auto_depth:
+                # monolithic warmup runs whole at the ceiling; the cap
+                # applies to the sampling program only
+                cap = adapt.choose_depth_cap(
+                    np.asarray(wdepths)[:, num_warmup // 2 :],
+                    max_depth, depth_margin,
+                )
         else:
             # segmented warmup: each schedule slice is its own dispatch,
             # bounding device-program runtime (expensive models on the
@@ -258,9 +277,14 @@ def sample_nuts_checkpointed(
                 )
             )
             carry = init_fn(keys, z0)
-            for s in range(0, num_warmup, warmup_chunk_size):
+            probe = min(depth_probe, num_warmup) if auto_depth else 0
+            probe_depths = []
+            s = 0
+            while s < num_warmup:
                 e = min(s + warmup_chunk_size, num_warmup)
-                carry = seg_fn(
+                if auto_depth and s < probe < e:
+                    e = probe  # split the chunk at the probe boundary
+                carry, seg_depths = seg_fn(
                     carry,
                     in_slow_seg=jnp.asarray(in_slow_np[s:e]),
                     window_end_seg=jnp.asarray(window_end_np[s:e]),
@@ -276,12 +300,32 @@ def sample_nuts_checkpointed(
                 # warmup_chunk_size so worst-case trees (2^max_depth - 1
                 # leapfrogs x per-leapfrog wall x chunk) stay under ~40 s.
                 jax.device_get(carry[1].log_eps.reshape(-1)[0])
+                if auto_depth and s < probe:
+                    probe_depths.append(np.asarray(seg_depths))
+                s = e
+                if auto_depth and s == probe:
+                    d = np.concatenate(probe_depths, axis=1)
+                    cap = adapt.choose_depth_cap(
+                        d[:, d.shape[1] // 2 :], max_depth, depth_margin
+                    )
+                    if cap != max_depth:
+                        seg_fn = jax.jit(
+                            partial(
+                                _warmup_segment,
+                                logdensity_fn,
+                                max_depth=cap,
+                                target_accept=target_accept,
+                            )
+                        )
             states, da, _, inv_mass, keys = carry
             eps = jnp.where(
                 num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
             )
         draws, divs, done = [], [], 0
 
+    chunk_fn = jax.jit(
+        partial(_sample_chunk, logdensity_fn, chunk=chunk_size, max_depth=cap)
+    )
     store = None
     if draw_store_path is not None:
         from math_tpu.io.draw_store import DrawStore
@@ -290,12 +334,16 @@ def sample_nuts_checkpointed(
                           np.dtype(np.float64) if dtype == jnp.float64 else np.float32)
 
     n_leapfrog = 0
+    sat_hits, sat_total = 0, 0
     while done < num_samples:
         n = min(chunk_size, num_samples - done)
-        states, keys, zs, div, nlf = chunk_fn(states, eps, inv_mass, keys)
+        states, keys, zs, div, nlf, td = chunk_fn(states, eps, inv_mass, keys)
         zs = np.asarray(zs)[:, :n]
         div = np.asarray(div)[:, :n]
         n_leapfrog += int(np.asarray(nlf)[:, :n].sum())
+        td_np = np.asarray(td)[:, :n]
+        sat_hits += int((td_np >= cap).sum())
+        sat_total += td_np.size
         draws.append(zs)
         divs.append(div)
         done += n
@@ -314,6 +362,7 @@ def sample_nuts_checkpointed(
                 "draws": np.concatenate(draws, axis=1),
                 "divs": np.concatenate(divs, axis=1),
                 "done": np.asarray(done),
+                "max_depth_used": np.asarray(cap),
             },
         )
 
@@ -328,5 +377,19 @@ def sample_nuts_checkpointed(
         # not checkpointed, so a resumed run counts from its restart)
         "n_leapfrog": n_leapfrog,
         "resumed": checkpoint_exists(checkpoint_path),
+        "max_depth_used": cap,
+        "treedepth_hit_rate": (
+            sat_hits / sat_total if sat_total else 0.0
+        ),
     }
+    if auto_depth and sat_total:
+        import warnings as _w
+
+        rate = sat_hits / sat_total
+        if rate > treedepth_warn_threshold:
+            _w.warn(
+                f"NUTS tree-depth cap {cap} hit on {100.0 * rate:.1f}% of "
+                "transitions; trajectories truncated — raise max_depth",
+                stacklevel=2,
+            )
     return positions, diverging, info

@@ -124,17 +124,19 @@ class ChainResult(NamedTuple):
     step_size: jnp.ndarray  # (chains,)
     inv_mass: jnp.ndarray  # (chains, dim)
     warmup_accept: jnp.ndarray  # (chains,) mean accept during warmup
+    max_depth: int = 10  # sampling-phase tree-depth cap actually used
 
 
-def _one_chain_factory(
+def _warmup_chain_factory(
     logdensity_fn: Callable,
     num_warmup: int,
-    num_samples: int,
     max_depth: int,
     target_accept: float,
-    thin: int = 1,
     dense_mass: bool = False,
 ):
+    """One chain's Stan-window warmup; returns the post-warmup sampler
+    state PLUS the per-step tree-depth trace (``adapt.choose_depth_cap``
+    input for the auto-sized sampling cap)."""
     logp_grad = jax.value_and_grad(logdensity_fn)
 
     if dense_mass:
@@ -148,7 +150,7 @@ def _one_chain_factory(
 
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
 
-    def one_chain(key, z0):
+    def one_warm(key, z0):
         dt = z0.dtype
         dim = z0.shape[-1]
         logp0, grad0 = logp_grad(z0)
@@ -187,9 +189,10 @@ def _one_chain_factory(
             da, wf, inv_mass = jax.lax.cond(
                 win_end, finish_window, lambda a: a, (da, wf, inv_mass)
             )
-            return (state, da, wf, inv_mass, key, acc_sum + stats.accept_prob), None
+            carry = (state, da, wf, inv_mass, key, acc_sum + stats.accept_prob)
+            return carry, stats.tree_depth
 
-        (state, da, wf, inv_mass, key, acc_sum), _ = jax.lax.scan(
+        (state, da, wf, inv_mass, key, acc_sum), depths = jax.lax.scan(
             warmup_step,
             (state, da, wf, inv_mass, key, jnp.zeros((), dt)),
             (jnp.asarray(in_slow_np), jnp.asarray(window_end_np)),
@@ -197,7 +200,23 @@ def _one_chain_factory(
         eps_final = jnp.where(
             num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
         )
+        warmup_accept = acc_sum / jnp.maximum(num_warmup, 1)
+        return state, eps_final, inv_mass, warmup_accept, key, depths
 
+    return one_warm
+
+
+def _sample_chain_factory(
+    logdensity_fn: Callable,
+    num_samples: int,
+    max_depth: int,
+    thin: int = 1,
+):
+    """One chain's sampling phase from a warmed-up state (the cap here may
+    be smaller than the warmup cap — see ``adapt.choose_depth_cap``)."""
+    logp_grad = jax.value_and_grad(logdensity_fn)
+
+    def one_samp(key, state, eps_final, inv_mass):
         def sample_step(carry, _):
             state, key = carry
             key, k = jax.random.split(key)
@@ -219,7 +238,31 @@ def _one_chain_factory(
         (state, key), (zs, stats) = jax.lax.scan(
             sample_step, (state, key), None, length=num_samples
         )
-        warmup_accept = acc_sum / jnp.maximum(num_warmup, 1)
+        return zs, stats
+
+    return one_samp
+
+
+def _one_chain_factory(
+    logdensity_fn: Callable,
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int,
+    target_accept: float,
+    thin: int = 1,
+    dense_mass: bool = False,
+):
+    """Fused warmup+sampling chain (one trace; the auto-depth path runs
+    the two factories as separate dispatches instead — same key chain,
+    so the draws match when the caps match)."""
+    one_warm = _warmup_chain_factory(
+        logdensity_fn, num_warmup, max_depth, target_accept, dense_mass
+    )
+    one_samp = _sample_chain_factory(logdensity_fn, num_samples, max_depth, thin)
+
+    def one_chain(key, z0):
+        state, eps_final, inv_mass, warmup_accept, key, _ = one_warm(key, z0)
+        zs, stats = one_samp(key, state, eps_final, inv_mass)
         return zs, stats, eps_final, inv_mass, warmup_accept
 
     return one_chain
@@ -241,6 +284,9 @@ def sample_nuts(
     thin: int = 1,
     dense_mass: bool = False,
     dtype=jnp.float64,
+    auto_depth: bool = False,
+    depth_margin: int = 2,
+    treedepth_warn_threshold: float = 0.05,
 ) -> ChainResult:
     """Run NUTS with Stan-style windowed warmup; all chains vmapped + jitted.
 
@@ -249,6 +295,14 @@ def sample_nuts(
     closure constants get baked into the traced program and inflate compile
     time badly (observed 17x on a 100k x 50 GLM); ``args`` stay XLA
     parameters.  Returns positions of shape (chains, num_samples, dim).
+
+    ``auto_depth=True``: warmup runs at the ``max_depth`` ceiling as its
+    own dispatch; the SAMPLING phase is then recompiled with a cap
+    auto-sized from the adapted tree-depth distribution of the second half
+    of warmup (``adapt.choose_depth_cap`` — the transition's cost scales
+    with the program's cap, measured 4.8x on eight-schools).  A warning
+    fires if sampling saturates the chosen cap on more than
+    ``treedepth_warn_threshold`` of transitions.
     """
     if init is None:
         if dim is None:
@@ -263,23 +317,60 @@ def sample_nuts(
     check_init_logdensity(logdensity_fn, init, args)
     keys = jax.random.split(key, num_chains)
 
-    def runner(keys, init, args):
-        one_chain = _one_chain_factory(
-            lambda z: logdensity_fn(z, *args),
-            num_warmup,
-            num_samples,
-            max_depth,
-            target_accept,
-            thin,
-            dense_mass,
-        )
-        return jax.vmap(one_chain)(keys, init)
+    if not auto_depth:
+        def runner(keys, init, args):
+            one_chain = _one_chain_factory(
+                lambda z: logdensity_fn(z, *args),
+                num_warmup,
+                num_samples,
+                max_depth,
+                target_accept,
+                thin,
+                dense_mass,
+            )
+            return jax.vmap(one_chain)(keys, init)
 
-    zs, stats, eps, inv_mass, warmup_accept = jax.jit(runner)(keys, init, args)
+        zs, stats, eps, inv_mass, warmup_accept = jax.jit(runner)(
+            keys, init, args
+        )
+        return ChainResult(
+            position=zs,
+            stats=stats,
+            step_size=eps,
+            inv_mass=inv_mass,
+            warmup_accept=warmup_accept,
+            max_depth=max_depth,
+        )
+
+    def warm_runner(keys, init, args):
+        one_warm = _warmup_chain_factory(
+            lambda z: logdensity_fn(z, *args),
+            num_warmup, max_depth, target_accept, dense_mass,
+        )
+        return jax.vmap(one_warm)(keys, init)
+
+    states, eps, inv_mass, warmup_accept, keys2, depths = jax.jit(
+        warm_runner
+    )(keys, init, args)
+    cap = adapt.choose_depth_cap(
+        np.asarray(depths)[:, num_warmup // 2 :], max_depth, depth_margin
+    )
+
+    def samp_runner(keys, states, eps, inv_mass, args):
+        one_samp = _sample_chain_factory(
+            lambda z: logdensity_fn(z, *args), num_samples, cap, thin
+        )
+        return jax.vmap(one_samp)(keys, states, eps, inv_mass)
+
+    zs, stats = jax.jit(samp_runner)(keys2, states, eps, inv_mass, args)
+    adapt.warn_on_treedepth_saturation(
+        np.asarray(stats.tree_depth), cap, treedepth_warn_threshold
+    )
     return ChainResult(
         position=zs,
         stats=stats,
         step_size=eps,
         inv_mass=inv_mass,
         warmup_accept=warmup_accept,
+        max_depth=cap,
     )

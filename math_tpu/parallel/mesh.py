@@ -113,6 +113,7 @@ def sample_nuts_sharded(
         energy=P(axis),
         step_size=P(),
         inv_mass=P(),
+        max_depth=P(),
     )
     run = jax.jit(
         jax.shard_map(

@@ -70,7 +70,7 @@ def test_sharded_matches_local_pooled():
             out_specs=jax.tree.map(
                 lambda _: P("chain"),
                 local,
-            )._replace(step_size=P(), inv_mass=P()),
+            )._replace(step_size=P(), inv_mass=P(), max_depth=P()),
         )
     )(keys, z0)
 
@@ -176,7 +176,7 @@ def test_chunked_pooled_sharded_bit_identical():
             mesh=mesh,
             in_specs=(P("chain"), P("chain")),
             out_specs=jax.tree.map(lambda _: P("chain"), probe)._replace(
-                step_size=P(), inv_mass=P()
+                step_size=P(), inv_mass=P(), max_depth=P()
             ),
         )
     )(keys, z0)

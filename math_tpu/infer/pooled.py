@@ -156,6 +156,36 @@ def _make_pooled_machine(
     return init, warmup_seg, sample_seg
 
 
+# Dispatch-function memo: re-creating the jax.jit wrappers on every driver
+# call would RETRACE the whole NUTS machine each time (measured: ~7 s per
+# eight-schools call on the relay backend — dwarfing the 1.5 s sample run).
+# Keyed on the exact staging inputs; the logdensity_fn object is held
+# strongly, which both keys correctly and keeps its jit caches alive.
+_dispatch_memo: dict = {}
+
+
+def _segment_dispatch_fns_cached(
+    logdensity_fn, max_depth, target_accept, dt, dim, *, mesh=None,
+    axis="chain"
+):
+    key = (logdensity_fn, max_depth, target_accept,
+           jnp.dtype(dt).name, dim, mesh, axis)
+    try:
+        hit = _dispatch_memo.get(key)
+    except TypeError:  # unhashable logdensity_fn: fall through uncached
+        return _segment_dispatch_fns(
+            logdensity_fn, max_depth, target_accept, dt, dim,
+            mesh=mesh, axis=axis,
+        )
+    if hit is None:
+        hit = _segment_dispatch_fns(
+            logdensity_fn, max_depth, target_accept, dt, dim,
+            mesh=mesh, axis=axis,
+        )
+        _dispatch_memo[key] = hit
+    return hit
+
+
 def _segment_dispatch_fns(
     logdensity_fn, max_depth, target_accept, dt, dim, *, mesh=None,
     axis="chain"
@@ -348,7 +378,7 @@ def run_pooled_chains_chunked(
     dt = z0s.dtype
     _, dim = z0s.shape
     args = tuple(args)
-    init_j, warm_j, samp_j = _segment_dispatch_fns(
+    init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
         logdensity_fn, max_depth, target_accept, dt, dim,
         mesh=mesh, axis=axis,
     )
@@ -384,7 +414,7 @@ def run_pooled_chains_chunked(
             depths = np.repeat(np.arange(h.shape[0]), h)
             cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
             if cap != max_depth:
-                init_j, warm_j, samp_j = _segment_dispatch_fns(
+                init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
                     logdensity_fn, cap, target_accept, dt, dim,
                     mesh=mesh, axis=axis,
                 )

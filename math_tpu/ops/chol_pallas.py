@@ -11,9 +11,11 @@ Motivation (measured, v5e): the pure-``lax.scan`` formulation in
 2·B sequential steps, costing ~100 ms per 2000-dim factorization+VJP.
 Here each diagonal block's 2·B-step loop runs in ONE kernel with the
 block resident in VMEM; everything between blocks is plain f32 MXU
-matmuls.  The backward pass is the Murray block adjoint written with the
-already-computed block inverses, via ``jax.custom_vjp`` (kernels are not
-auto-differentiable).
+matmuls.  Differentiation is a linear ``jax.custom_jvp``
+rule (forward-mode Murray differential); reverse mode is its transpose —
+the Murray block adjoint over the already-computed block inverses — and
+because the rule is built from differentiable ops, ANY order of
+differentiation works (jax.hessian included).
 
 BATCHED blocks (round 3): the sequential 2·B-step loop is latency-bound
 (~1 us/step overhead vs ~70 ns of VPU work at B=256), so vmapping the
@@ -211,7 +213,26 @@ def _T(x):
     return jnp.swapaxes(x, -1, -2)
 
 
-@jax.custom_vjp
+def _psi_upper(x):
+    """Upper triangle with halved diagonal (the upper-factor analog of
+    Murray's Φ), batched."""
+    diag = jnp.diagonal(x, axis1=-2, axis2=-1)
+    return jnp.triu(x) - 0.5 * diag[..., None, :] * jnp.eye(
+        x.shape[-1], dtype=x.dtype
+    )
+
+
+# AD wiring (r5): custom_jvp, not custom_vjp.  A custom_vjp admits exactly
+# one reverse differentiation — jax.hessian through a density embedding
+# the blocked Cholesky died at the kernel.  The JVP rule below is LINEAR
+# in the input tangent with primal-only coefficients, so reverse mode is
+# its transpose — algebraically Murray's adjoint (arXiv:1602.07527): the
+# transpose of dU = Ψ(U⁻ᵀ dd U⁻¹) U is d̄ = W Ψᵀ(Ū Uᵀ ∘ mask) Wᵀ, the
+# same solve-multiply-mask pipeline the old hand bwd ran — and the rule
+# itself is built from differentiable ops, so any higher order works.
+
+
+@jax.custom_jvp
 def chol_inv_block(d):
     """(U, W): upper Cholesky factor of SPD block(s) d (d = Uᵀ U) and
     W = U⁻¹; d is (B, B) or (Cb, B, B) — the batch runs in ONE kernel,
@@ -219,8 +240,8 @@ def chol_inv_block(d):
     rule) instead of serializing through a Pallas grid.
 
     Gradient convention matches XLA's cholesky through any symmetric
-    construction of ``d`` (the cotangent is symmetrized; Cholesky of a
-    non-symmetric matrix is not a meaningful differentiation target).
+    construction of ``d`` (Cholesky of a non-symmetric matrix is not a
+    meaningful differentiation target).
     """
     squeeze = d.ndim == 2
     if squeeze:
@@ -231,27 +252,17 @@ def chol_inv_block(d):
     return u, w
 
 
-def _chol_inv_block_fwd(d):
-    out = chol_inv_block(d)
-    return out, out
-
-
-def _chol_inv_block_bwd(res, cot):
-    u, w = res
-    ubar, wbar = cot
-    # W = U⁻¹ ⇒ Ū += upper(−Wᵀ w̄ Wᵀ)
-    ubar = ubar + jnp.triu(-_T(w) @ wbar @ _T(w))
-    # Murray adjoint for L = Uᵀ, L̄ = Ūᵀ, L⁻¹ = Wᵀ:
-    #   d̄ = sym( L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ )
-    L = _T(u)
-    Lbar = _T(ubar)
-    Linv = _T(w)
-    P = _phi(_T(L) @ Lbar)
-    g = _T(Linv) @ P @ Linv
-    return (0.5 * (g + _T(g)),)
-
-
-chol_inv_block.defvjp(_chol_inv_block_fwd, _chol_inv_block_bwd)
+@chol_inv_block.defjvp
+def _chol_inv_block_jvp(primals, tangents):
+    (d,) = primals
+    (dd,) = tangents
+    u, w = chol_inv_block(d)
+    with jax.default_matmul_precision("float32"):
+        # d = UᵀU ⇒ U⁻ᵀ dd U⁻¹ = Sᵀ + S with S = dU U⁻¹ upper-triangular
+        m = _T(w) @ dd @ w
+        du = _psi_upper(m) @ u
+        dw = -w @ du @ w  # W = U⁻¹
+    return (u, w), (du, dw)
 
 
 def _pad_spd(a, n, npad):
@@ -313,13 +324,6 @@ def _upper_solve_blocks(L, Ws, b, B):
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _chol_blocked_vjp(a, n, block_size):
-    flat, batch_shape, _ = _flatten_pad(a, n, block_size)
-    L, _ = _chol_blocked_impl(flat, block_size)
-    return _unflatten_unpad(L, batch_shape, n)
-
-
 def _flatten_pad(a, n, B):
     nb = max(1, -(-n // B))
     npad = nb * B - n
@@ -334,41 +338,58 @@ def _unflatten_unpad(x, batch_shape, n):
     return x[..., :n, :n]
 
 
-def _chol_blocked_fwd(a, n, block_size):
+def _flatten_pad_zero(x, n, B, cols_only=False):
+    """Flatten like ``_flatten_pad`` but ZERO-pad the tail (the tangent of
+    the identity padding is zero).  ``cols_only``: trailing dims are
+    (n, m) — pad rows only."""
+    nb = max(1, -(-n // B))
+    npad = nb * B - n
+    if npad:
+        pads = [(0, 0)] * (x.ndim - 2) + [
+            (0, npad), (0, 0) if cols_only else (0, npad)
+        ]
+        x = jnp.pad(x, pads)
+    batch_shape = x.shape[:-2]
+    return x.reshape((-1,) + x.shape[-2:]) if batch_shape else x[None]
+
+
+# AD wiring (r5): custom_jvp, not custom_vjp, so jax.hessian (and any
+# order) works through densities embedding the blocked factorization.
+# Reverse mode is the transpose of the linear JVP rule below; see the
+# note above chol_inv_block.
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _chol_blocked_vjp(a, n, block_size):
     flat, batch_shape, _ = _flatten_pad(a, n, block_size)
-    L, Ws = _chol_blocked_impl(flat, block_size)
-    return _unflatten_unpad(L, batch_shape, n), (L, Ws)
+    L, _ = _chol_blocked_impl(flat, block_size)
+    return _unflatten_unpad(L, batch_shape, n)
 
 
-def _chol_blocked_bwd(n, block_size, res, lbar):
-    """Murray's level-3 Cholesky adjoint, Ā = ½(G + Gᵀ) with
-    G = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ (arXiv:1602.07527 eq. 8), using the block
-    inverses saved from the forward so both triangular solves are block
-    substitutions of plain MXU matmuls.  Replaces tracing back through
-    the factorization loop (measured 18x slower at n=2000, C=8, v5e).
-    ref: rev/mat/fun/cholesky_decompose.hpp (blocked reverse sweep).
-    """
-    L, Ws = res
+@_chol_blocked_vjp.defjvp
+def _chol_blocked_jvp(n, block_size, primals, tangents):
+    """Forward-mode blocked Cholesky: dL = L Φ(L⁻¹ dA L⁻ᵀ) (Murray,
+    arXiv:1602.07527), both triangular solves as block substitutions over
+    the inverses the forward already computed.  The rule is linear in dA,
+    so its transpose IS Murray's level-3 adjoint
+    Ā = L⁻ᵀ Φᵀ(Lᵀ L̄) L⁻¹ — the same solve pipeline the r3
+    hand-written bwd ran (tracing back through the factorization loop
+    instead measured 18x slower at n=2000, C=8, v5e).
+    ref: rev/mat/fun/cholesky_decompose.hpp (blocked reverse sweep)."""
+    (a,) = primals
+    (da,) = tangents
     B = block_size
-    N = L.shape[-1]
-    batch_shape = lbar.shape[:-2]
-    lbar = jnp.tril(lbar)
-    if N > n:
-        lbar = jnp.pad(
-            lbar, [(0, 0)] * (lbar.ndim - 2) + [(0, N - n), (0, N - n)]
-        )
-    flat_bar = (
-        lbar.reshape((-1,) + lbar.shape[-2:]) if batch_shape else lbar[None]
-    )
+    flat, batch_shape, _ = _flatten_pad(a, n, B)
+    L, Ws = _chol_blocked_impl(flat, B)
+    da_flat = _flatten_pad_zero(da, n, B)
     with jax.default_matmul_precision("float32"):
-        P = _phi(_T(L) @ flat_bar)
-        X = _upper_solve_blocks(L, Ws, P, B)  # L⁻ᵀ P
-        G = _T(_upper_solve_blocks(L, Ws, _T(X), B))  # (L⁻ᵀ Xᵀ)ᵀ = X L⁻¹
-        abar = 0.5 * (G + _T(G))
-    return (_unflatten_unpad(abar, batch_shape, n),)
-
-
-_chol_blocked_vjp.defvjp(_chol_blocked_fwd, _chol_blocked_bwd)
+        X = _lower_solve_blocks(L, Ws, da_flat, B)  # L⁻¹ dA
+        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))  # L⁻¹ dA L⁻ᵀ
+        dL = L @ _phi(M)
+    return (
+        _unflatten_unpad(L, batch_shape, n),
+        _unflatten_unpad(dL, batch_shape, n),
+    )
 
 
 def _masked_diag(m):
@@ -377,7 +398,7 @@ def _masked_diag(m):
     return jnp.sum(m * jnp.eye(m.shape[-1], dtype=m.dtype), axis=-1)
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@_partial(jax.custom_jvp, nondiff_argnums=(2, 3))
 def _chol_solve_logdiag(a, b, n, block_size):
     y, s = _csl_fwd(a, b, n, block_size)[0]
     return y, s
@@ -400,41 +421,32 @@ def _csl_fwd(a, b, n, block_size):
     return (y_out, s_out), (L, Ws, y)
 
 
-def _csl_bwd(n, block_size, res, cots):
-    """Joint adjoint of (y = L⁻¹ b, s = Σ log L_ii) wrt the SPD input:
-    b̄ = L⁻ᵀ ȳ;  L̄ = tril(−b̄ yᵀ) + diag(s̄ / L_ii);  then Murray's
-    Ā = ½(G + Gᵀ), G = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ — all block substitutions with
-    the inverses saved from the forward.  ref: the composition of
-    rev/mat/fun/{cholesky_decompose,mdivide_left_tri,log}.hpp varis."""
-    L, Ws, y = res
-    ybar, sbar = cots
+@_chol_solve_logdiag.defjvp
+def _csl_jvp(n, block_size, primals, tangents):
+    """Forward-mode joint rule for (y = L⁻¹ b, s = Σ log L_ii) wrt the SPD
+    input and rhs: dL = L Φ(L⁻¹ dA L⁻ᵀ); dy = L⁻¹ (db − dL y);
+    ds = Σ dL_ii / L_ii — all block substitutions over the inverses the
+    forward already computed.  Linear in (dA, db), so reverse mode is the
+    transpose: b̄ = L⁻ᵀ ȳ, L̄ = tril(−b̄ yᵀ) + diag(s̄/L_ii), then Murray's
+    Ā — the same pipeline the r3 hand-written bwd ran.  ref: the
+    composition of rev/mat/fun/{cholesky_decompose,mdivide_left_tri,
+    log}.hpp varis."""
+    a, b = primals
+    da, db = tangents
     B = block_size
-    N = L.shape[-1]
-    batch_shape = ybar.shape[:-2]
-    if N > n:
-        ybar = jnp.pad(ybar, [(0, 0)] * (ybar.ndim - 2) + [(0, N - n), (0, 0)])
-    flat_ybar = (
-        ybar.reshape((-1,) + ybar.shape[-2:]) if batch_shape else ybar[None]
-    )
-    flat_sbar = sbar.reshape((-1,))
+    (y_out, s_out), (L, Ws, y) = _csl_fwd(a, b, n, B)
+    batch_shape = y_out.shape[:-2]
+    da_flat = _flatten_pad_zero(da, n, B)
+    db_flat = _flatten_pad_zero(db, n, B, cols_only=True)
     with jax.default_matmul_precision("float32"):
-        bbar = _upper_solve_blocks(L, Ws, flat_ybar, B)
-        eye = jnp.eye(N, dtype=L.dtype)
-        lbar = jnp.tril(-(bbar @ _T(y))) + (
-            flat_sbar[:, None] / _masked_diag(L)
-        )[..., None] * eye
-        P = _phi(_T(L) @ lbar)
-        X = _upper_solve_blocks(L, Ws, P, B)
-        G = _T(_upper_solve_blocks(L, Ws, _T(X), B))
-        abar = 0.5 * (G + _T(G))
-    abar = _unflatten_unpad(abar, batch_shape, n)
-    bbar = bbar.reshape(batch_shape + bbar.shape[-2:])[..., :n, :]
-    return abar, bbar
-
-
-_chol_solve_logdiag.defvjp(
-    lambda a, b, n, bs: _csl_fwd(a, b, n, bs), _csl_bwd
-)
+        X = _lower_solve_blocks(L, Ws, da_flat, B)
+        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))
+        dL = L @ _phi(M)
+        dy = _lower_solve_blocks(L, Ws, db_flat - dL @ y, B)
+        ds = jnp.sum(_masked_diag(dL) / _masked_diag(L), axis=-1)
+    dy_out = dy.reshape(batch_shape + dy.shape[-2:])[..., :n, :]
+    ds_out = ds.reshape(batch_shape)
+    return (y_out, s_out), (dy_out, ds_out)
 
 
 def cholesky_solve_logdiag_pallas(a, b, block_size: int = 256):

@@ -150,29 +150,38 @@ def _tri_upper_solve_winv(L, winvs, b, B):
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tri_lower_solve_winv(L, winvs, b, B):
+    """y with L y = b by block forward substitution over SAVED block
+    inverses (no re-inversion)."""
+    y = jnp.zeros_like(b)
+    with jax.default_matmul_precision("float32"):
+        for j in range(len(winvs)):
+            s = j * B
+            rhs = b[..., s : s + B, :] - L[..., s : s + B, :s] @ y[..., :s, :]
+            y = y.at[..., s : s + B, :].set(winvs[j] @ rhs)
+    return y
+
+
+# AD wiring (r5): custom_jvp, not custom_vjp, so any differentiation
+# order works.  The rule dy = L⁻¹(db − tril(dL) y) is linear in the
+# tangents; its transpose is exactly the old hand bwd — b̄ = L⁻ᵀ ȳ
+# (block upper solve with the saved inverses), L̄ = tril(−b̄ yᵀ) —
+# tracing back through the substitution loop instead is the same
+# 18x-slower pattern as the Cholesky glue.
+@_partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _tri_solve_vjp(L, b, B):
     return _tri_solve_impl(L, b, B)[0]
 
 
-def _tri_solve_fwd(L, b, B):
+@_tri_solve_vjp.defjvp
+def _tri_solve_jvp(B, primals, tangents):
+    L, b = primals
+    dL, db = tangents
     y, winvs = _tri_solve_impl(L, b, B)
-    return y, (L, y, winvs)
-
-
-def _tri_solve_bwd(B, res, g):
-    """Adjoint of y = L⁻¹ b: b̄ = L⁻ᵀ ȳ (block upper solve with the saved
-    inverses), L̄ = tril(−b̄ yᵀ).  Tracing back through the substitution
-    loop instead is the same 18x-slower pattern as the Cholesky glue
-    (see chol_pallas._chol_blocked_bwd)."""
-    L, y, winvs = res
-    bbar = _tri_upper_solve_winv(L, winvs, g, B)
     with jax.default_matmul_precision("float32"):
-        lbar = -(bbar @ jnp.swapaxes(y, -1, -2))
-    return jnp.tril(lbar), bbar
-
-
-_tri_solve_vjp.defvjp(_tri_solve_fwd, _tri_solve_bwd)
+        rhs = db - jnp.tril(dL) @ y
+    dy = _tri_lower_solve_winv(L, winvs, rhs, B)
+    return y, dy
 
 
 def mdivide_left_tri_low_blocked(L, b, block_size: int = 256):

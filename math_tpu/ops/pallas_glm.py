@@ -216,107 +216,177 @@ def _fused_forward(family, y, x, alpha, beta, extra, *, interpret=False):
     return logp[0], ga[0], gb, None
 
 
-def _data_cotangents(family, y, x, alpha, beta, extra, g):
-    """Exact (dy, dx) for the logp CORE via one eta recompute.
+# ---------------------------------------------------------------------------
+# AD wiring: two-level custom_jvp instead of custom_vjp (r5).
+#
+# custom_vjp admits exactly ONE reverse differentiation — jax.hessian
+# (jacfwd-of-jacrev) dies at the kernel.  The reference guarantees
+# fvar<var> / fvar<fvar<var>> through every density including the fused
+# GLMs (mix/mat/functor/hessian.hpp:42-66), so the fused path must be
+# differentiable to any order:
+#
+#   level 0  fused(args) -> logp        custom_jvp; its JVP rule reads the
+#            partials off `parts` and forms a LINEAR tangent, so reverse
+#            mode is that rule's transpose — algebraically the same
+#            single-X-read cotangents the old custom_vjp bwd returned.
+#   level 1  parts(args) -> (logp, ga, gb[, ge])   custom_jvp; primal is
+#            the Pallas kernel, its JVP rule differentiates the plain-XLA
+#            formulation (`_xla_parts`) — the second-order escape hatch,
+#            traced only when a second derivative is actually requested,
+#            and itself differentiable to any further order.
+# ---------------------------------------------------------------------------
 
-    Reference computes dx when x is var (bernoulli_logit_glm_lpmf.hpp:
-    112-137): dlogp_c/dx = theta'_{:,c} beta_{:,c}^T, so
-    dx = (theta' * g) beta^T.  Only traced when (y, x) carry tangents
-    (symbolic_zeros gate) — the sampler hot path never pays for this.
-    """
+from jax.custom_derivatives import SymbolicZero as _SymZero
+
+
+def _iszero(t):
+    return isinstance(t, _SymZero)
+
+
+def _xla_parts(family, y, x, alpha, beta, extra):
+    """Differentiable plain-XLA formulation of the kernel outputs
+    (logp_core, ga, gb[, ge]); f32 matmul precision pinned to match the
+    kernel's preferred_element_type."""
     core, has_extra = _CORES[family]
-    eta = x @ beta + alpha[None, :]  # (N, C)
-    e2 = extra[None, :] if has_extra else None
-    _, thetap, _ = core(eta, y[:, None], e2)
-    dx = (thetap * g[None, :]) @ beta.T
+    with jax.default_matmul_precision("float32"):
+        eta = x @ beta + alpha[None, :]
+        e2 = extra[None, :] if has_extra else None
+        lp, thetap, dextra = core(eta, y[:, None], e2)
+        logp = jnp.sum(lp, axis=0)
+        ga = jnp.sum(thetap, axis=0)
+        gb = x.T @ thetap
+    if has_extra:
+        return logp, ga, gb, jnp.sum(dextra, axis=0)
+    return logp, ga, gb
+
+
+def _dy_rows(family, eta, thetap, y, extra):
+    """d logp_c / d y_n rows (N, C) for the float-data families."""
     if family == "bernoulli_logit":
         # match the XLA fallback's sign formulation -softplus(-(2y-1) eta)
         sign = 2.0 * y[:, None] - 1.0
-        dy_n = 2.0 * eta * jax.nn.sigmoid(-sign * eta)
-    elif family == "poisson_log":
-        dy_n = eta  # d(y*eta - exp(eta))/dy per row/chain
-    elif family == "normal_id":
-        dy_n = -thetap
-    else:  # neg_binomial_2_log: d(y*eta - (y+phi) log(phi+mu))/dy
-        dy_n = eta - jnp.logaddexp(eta, jnp.log(extra)[None, :])
-    dy = dy_n @ g
-    return dy.astype(y.dtype), dx.astype(x.dtype)
+        return 2.0 * eta * jax.nn.sigmoid(-sign * eta)
+    if family == "poisson_log":
+        return eta  # d(y*eta - exp(eta))/dy per row/chain
+    if family == "normal_id":
+        return -thetap
+    # neg_binomial_2_log: d(y*eta - (y+phi) log(phi+mu))/dy
+    return eta - jnp.logaddexp(eta, jnp.log(extra)[None, :])
 
 
-def _make_fused(family):
+def _data_tangent(family, y, x, alpha, beta, extra, ty, tx):
+    """Tangent contribution of perturbed (y, x) via one eta recompute
+    (reference supports x as var, bernoulli_logit_glm_lpmf.hpp:112-137);
+    its transpose is the exact data cotangent dx = (theta' * g) beta^T."""
+    core, has_extra = _CORES[family]
+    with jax.default_matmul_precision("float32"):
+        eta = x @ beta + alpha[None, :]
+        e2 = extra[None, :] if has_extra else None
+        _, thetap, _ = core(eta, y[:, None], e2)
+        tan = jnp.zeros((beta.shape[1],), thetap.dtype)
+        if not _iszero(tx):
+            tan = tan + jnp.sum(thetap * (tx @ beta), axis=0)
+        if not _iszero(ty):
+            tan = tan + ty @ _dy_rows(family, eta, thetap, y, extra)
+    return tan
+
+
+def _make_parts(family):
     core, has_extra = _CORES[family]
 
     if has_extra:
 
-        @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-        def fused(y, x, alpha, beta, extra, interpret=False):
-            logp, _, _, _ = _fused_forward(
+        @functools.partial(jax.custom_jvp, nondiff_argnums=(5,))
+        def parts(y, x, alpha, beta, extra, interpret):
+            return _fused_forward(
                 family, y, x, alpha, beta, extra, interpret=interpret
-            )
-            return logp
+            )[:4]
 
-        def fwd(y, x, alpha, beta, extra, interpret):
-            need_data = y.perturbed or x.perturbed
-            y, x, alpha, beta, extra = (
-                v.value for v in (y, x, alpha, beta, extra)
+        @parts.defjvp
+        def parts_jvp(interpret, primals, tangents):
+            out = parts(*primals, interpret)
+            _, tans = jax.jvp(
+                lambda *a: _xla_parts(family, *a), primals, tangents
             )
-            logp, ga, gb, ge = _fused_forward(
-                family, y, x, alpha, beta, extra, interpret=interpret
-            )
-            return logp, (ga, gb, ge, y, x, alpha, beta, extra, need_data)
-
-        def bwd(interpret, res, g):
-            ga, gb, ge, y, x, alpha, beta, extra, need_data = res
-            if need_data:
-                dy, dx = _data_cotangents(family, y, x, alpha, beta, extra, g)
-            else:
-                dy, dx = jnp.zeros_like(y), jnp.zeros_like(x)
-            return (
-                dy,
-                dx,
-                (ga * g).astype(alpha.dtype),
-                (gb * g[None, :]).astype(beta.dtype),
-                (ge * g).astype(extra.dtype),
-            )
+            return out, tans
 
     else:
 
-        @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-        def fused(y, x, alpha, beta, interpret=False):
-            logp, _, _, _ = _fused_forward(
-                family, y, x, alpha, beta, None, interpret=interpret
-            )
-            return logp
-
-        def fwd(y, x, alpha, beta, interpret):
-            need_data = y.perturbed or x.perturbed
-            y, x, alpha, beta = (v.value for v in (y, x, alpha, beta))
+        @functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+        def parts(y, x, alpha, beta, interpret):
             logp, ga, gb, _ = _fused_forward(
                 family, y, x, alpha, beta, None, interpret=interpret
             )
-            return logp, (ga, gb, y, x, alpha, beta, need_data)
+            return logp, ga, gb
 
-        def bwd(interpret, res, g):
-            ga, gb, y, x, alpha, beta, need_data = res
-            if need_data:
-                dy, dx = _data_cotangents(family, y, x, alpha, beta, None, g)
-            else:
-                dy, dx = jnp.zeros_like(y), jnp.zeros_like(x)
-            return (
-                dy,
-                dx,
-                (ga * g).astype(alpha.dtype),
-                (gb * g[None, :]).astype(beta.dtype),
+        @parts.defjvp
+        def parts_jvp(interpret, primals, tangents):
+            out = parts(*primals, interpret)
+            _, tans = jax.jvp(
+                lambda *a: _xla_parts(family, *a, None), primals, tangents
             )
+            return out, tans
 
-    fused.defvjp(fwd, bwd, symbolic_zeros=True)
+    return parts
+
+
+def _make_fused(family):
+    core, has_extra = _CORES[family]
+    parts = _make_parts(family)
+
+    if has_extra:
+
+        @functools.partial(jax.custom_jvp, nondiff_argnums=(5,))
+        def fused(y, x, alpha, beta, extra, interpret=False):
+            return parts(y, x, alpha, beta, extra, interpret)[0]
+
+        def fused_jvp(interpret, primals, tangents):
+            y, x, alpha, beta, extra = primals
+            ty, tx, ta, tb, te = tangents
+            logp, ga, gb, ge = parts(y, x, alpha, beta, extra, interpret)
+            tan = jnp.zeros_like(logp)
+            if not _iszero(ta):
+                tan = tan + ga * ta
+            if not _iszero(tb):
+                tan = tan + jnp.sum(gb * tb, axis=0)
+            if not _iszero(te):
+                tan = tan + ge * te
+            if not (_iszero(ty) and _iszero(tx)):
+                tan = tan + _data_tangent(
+                    family, y, x, alpha, beta, extra, ty, tx
+                )
+            return logp, tan
+
+    else:
+
+        @functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+        def fused(y, x, alpha, beta, interpret=False):
+            return parts(y, x, alpha, beta, interpret)[0]
+
+        def fused_jvp(interpret, primals, tangents):
+            y, x, alpha, beta = primals
+            ty, tx, ta, tb = tangents
+            logp, ga, gb = parts(y, x, alpha, beta, interpret)
+            tan = jnp.zeros_like(logp)
+            if not _iszero(ta):
+                tan = tan + ga * ta
+            if not _iszero(tb):
+                tan = tan + jnp.sum(gb * tb, axis=0)
+            if not (_iszero(ty) and _iszero(tx)):
+                tan = tan + _data_tangent(
+                    family, y, x, alpha, beta, None, ty, tx
+                )
+            return logp, tan
+
+    fused.defjvp(fused_jvp, symbolic_zeros=True)
     fused.__name__ = f"{family}_glm_fused"
     fused.__doc__ = (
         f"Fused multi-chain {family} GLM logp core: y (N,), x (N, K), "
         "alpha (C,), beta (K, C)"
         + (", extra (C,)" if has_extra else "")
-        + " -> logp (C,) [propto=True eta-part]. Gradients computed in the "
-        "same kernel pass (exact data-side cotangents on demand)."
+        + " -> logp (C,) [propto=True eta-part]. First-order gradients "
+        "come from the same kernel pass (transpose of the linear JVP "
+        "rule); higher orders route through the XLA formulation."
     )
     return fused
 
@@ -483,8 +553,31 @@ def _ordered_forward(y, x, beta, cuts, *, interpret=False):
     return logp[0], gb, gc_ext[1:-1]
 
 
+def _ordered_xla_parts(y, x, beta, cuts):
+    """Differentiable plain-XLA (logp, gbeta, gcuts) — the second-order
+    escape hatch for the ordered kernel (same math as the kernel body)."""
+    with jax.default_matmul_precision("float32"):
+        eta = x @ beta  # (N, C)
+        kc = cuts.shape[0]
+        big = jnp.full((1, cuts.shape[1]), _ORD_BIG, eta.dtype)
+        cuts_ext = jnp.concatenate([-big, cuts, big], axis=0)  # (K+1, C)
+        y = jnp.asarray(y, jnp.int32)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], kc + 2), 1)
+        oh_y = (kk == y[:, None]).astype(eta.dtype)
+        oh_ym1 = (kk == (y[:, None] - 1)).astype(eta.dtype)
+        u2 = oh_y @ cuts_ext - eta
+        u1 = oh_ym1 @ cuts_ext - eta
+        lp = u2 - _softplus(u2) - _softplus(u1) + _log1m_exp(u1 - u2)
+        w2 = jnp.exp(u2 - 2.0 * _softplus(u2) - lp)
+        w1 = jnp.exp(u1 - 2.0 * _softplus(u1) - lp)
+        thetap = w1 - w2
+        gb = x.T @ thetap
+        gc = (oh_y.T @ w2 - oh_ym1.T @ w1)[1:-1]
+    return jnp.sum(lp, axis=0), gb, gc
+
+
 def _ordered_eta_partials(y, x, beta, cuts):
-    """Recompute theta' = d lp / d eta for the data-side cotangent."""
+    """Recompute theta' = d lp / d eta for the data-side tangent."""
     eta = x @ beta  # (N, C)
     kc = cuts.shape[0]
     big = jnp.full((1, cuts.shape[1]), _ORD_BIG, eta.dtype)
@@ -494,42 +587,54 @@ def _ordered_eta_partials(y, x, beta, cuts):
     lp = u2 - _softplus(u2) - _softplus(u1) + _log1m_exp(u1 - u2)
     w2 = jnp.exp(u2 - 2.0 * _softplus(u2) - lp)
     w1 = jnp.exp(u1 - 2.0 * _softplus(u1) - lp)
-    return w1 - w2
+    return w1 - w2, eta
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+def _ordered_parts(y, x, beta, cuts, interpret):
+    return _ordered_forward(y, x, beta, cuts, interpret=interpret)
+
+
+@_ordered_parts.defjvp
+def _ordered_parts_jvp(interpret, primals, tangents):
+    out = _ordered_parts(*primals, interpret)
+    y = primals[0]
+    _, *trest = tangents  # int y's tangent is a structural zero: skipped
+    _, tans = jax.jvp(
+        lambda x, b, c: _ordered_xla_parts(y, x, b, c),
+        primals[1:], tuple(trest),
+    )
+    return out, tans
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
 def ordered_logistic_glm_fused(y, x, beta, cuts, interpret=False):
     """Fused multi-chain ordered-logistic GLM: y (N,) int 1..K, x (N, D),
     beta (D, C), cuts (K-1, C) -> logp (C,).  One X read computes logp and
     the beta/cuts partials (ref: ordered_logistic_glm_lpmf.hpp;
-    opencl/kernels/ordered_logistic_glm_lpmf.hpp:42)."""
-    logp, _, _ = _ordered_forward(y, x, beta, cuts, interpret=interpret)
+    opencl/kernels/ordered_logistic_glm_lpmf.hpp:42).  Differentiable to
+    any order (two-level custom_jvp; see the basic-family block above)."""
+    logp, _, _ = _ordered_parts(y, x, beta, cuts, interpret)
     return logp
 
 
-def _ordered_fwd(y, x, beta, cuts, interpret):
-    need_data = x.perturbed
-    y, x, beta, cuts = (v.value for v in (y, x, beta, cuts))
-    logp, gb, gc = _ordered_forward(y, x, beta, cuts, interpret=interpret)
-    return logp, (gb, gc, y, x, beta, cuts, need_data)
+def _ordered_fused_jvp(interpret, primals, tangents):
+    y, x, beta, cuts = primals
+    ty, tx, tb, tc = tangents
+    logp, gb, gc = _ordered_parts(y, x, beta, cuts, interpret)
+    tan = jnp.zeros_like(logp)
+    if not _iszero(tb):
+        tan = tan + jnp.sum(gb * tb, axis=0)
+    if not _iszero(tc):
+        tan = tan + jnp.sum(gc * tc, axis=0)
+    if not _iszero(tx):
+        thetap, _ = _ordered_eta_partials(y, x, beta, cuts)
+        with jax.default_matmul_precision("float32"):
+            tan = tan + jnp.sum(thetap * (tx @ beta), axis=0)
+    return logp, tan
 
 
-def _ordered_bwd(interpret, res, g):
-    gb, gc, y, x, beta, cuts, need_data = res
-    if need_data:
-        thetap = _ordered_eta_partials(y, x, beta, cuts)
-        dx = ((thetap * g[None, :]) @ beta.T).astype(x.dtype)
-    else:
-        dx = jnp.zeros_like(x)
-    dy = np.zeros(y.shape, dtype=jax.dtypes.float0)  # int categories
-    return dy, dx, (gb * g[None, :]).astype(beta.dtype), (
-        gc * g[None, :]
-    ).astype(cuts.dtype)
-
-
-ordered_logistic_glm_fused.defvjp(
-    _ordered_fwd, _ordered_bwd, symbolic_zeros=True
-)
+ordered_logistic_glm_fused.defjvp(_ordered_fused_jvp, symbolic_zeros=True)
 
 
 # ---------------------------------------------------------------------------
@@ -640,39 +745,67 @@ def _categorical_eta_partials(y, x, alpha, beta):
     return onehot[None] - jax.nn.softmax(eta, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _categorical_xla_parts(y, x, alpha, beta):
+    """Differentiable plain-XLA (logp, galpha, gbeta) for the categorical
+    kernel — the second-order escape hatch."""
+    with jax.default_matmul_precision("float32"):
+        eta = jnp.einsum("nd,cdk->cnk", x, beta) + alpha[:, None, :]
+        onehot = jax.nn.one_hot(
+            jnp.asarray(y, jnp.int32) - 1, eta.shape[-1], dtype=eta.dtype
+        )
+        logsm = jax.nn.log_softmax(eta, axis=-1)
+        logp = jnp.sum(onehot[None] * logsm, axis=(1, 2))
+        thetap = onehot[None] - jax.nn.softmax(eta, axis=-1)
+        ga = jnp.sum(thetap, axis=1)
+        gb = jnp.einsum("nd,cnk->cdk", x, thetap)
+    return logp, ga, gb
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+def _categorical_parts(y, x, alpha, beta, interpret):
+    return _categorical_forward(y, x, alpha, beta, interpret=interpret)
+
+
+@_categorical_parts.defjvp
+def _categorical_parts_jvp(interpret, primals, tangents):
+    out = _categorical_parts(*primals, interpret)
+    y = primals[0]
+    _, *trest = tangents  # int y's tangent is a structural zero: skipped
+    _, tans = jax.jvp(
+        lambda x, a, b: _categorical_xla_parts(y, x, a, b),
+        primals[1:], tuple(trest),
+    )
+    return out, tans
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
 def categorical_logit_glm_fused(y, x, alpha, beta, interpret=False):
     """Fused multi-chain categorical-logit GLM: y (N,) int 1..K, x (N, D),
     alpha (C, K), beta (C, D, K) -> logp (C,).  One X read per chain block
     computes logp and the alpha/beta partials in the same pass (ref:
-    categorical_logit_glm_lpmf.hpp:42,174)."""
-    logp, _, _ = _categorical_forward(y, x, alpha, beta, interpret=interpret)
+    categorical_logit_glm_lpmf.hpp:42,174).  Differentiable to any order
+    (two-level custom_jvp; see the basic-family block above)."""
+    logp, _, _ = _categorical_parts(y, x, alpha, beta, interpret)
     return logp
 
 
-def _categorical_fwd(y, x, alpha, beta, interpret):
-    need_data = x.perturbed
-    y, x, alpha, beta = (v.value for v in (y, x, alpha, beta))
-    logp, ga, gb = _categorical_forward(y, x, alpha, beta, interpret=interpret)
-    return logp, (ga, gb, y, x, alpha, beta, need_data)
-
-
-def _categorical_bwd(interpret, res, g):
-    ga, gb, y, x, alpha, beta, need_data = res
-    if need_data:
+def _categorical_fused_jvp(interpret, primals, tangents):
+    y, x, alpha, beta = primals
+    ty, tx, ta, tb = tangents
+    logp, ga, gb = _categorical_parts(y, x, alpha, beta, interpret)
+    tan = jnp.zeros_like(logp)
+    if not _iszero(ta):
+        tan = tan + jnp.sum(ga * ta, axis=-1)
+    if not _iszero(tb):
+        tan = tan + jnp.sum(gb * tb, axis=(1, 2))
+    if not _iszero(tx):
         thetap = _categorical_eta_partials(y, x, alpha, beta)
-        dx = jnp.einsum("c,cnk,cdk->nd", g, thetap, beta).astype(x.dtype)
-    else:
-        dx = jnp.zeros_like(x)
-    dy = np.zeros(y.shape, dtype=jax.dtypes.float0)  # int classes
-    return dy, dx, (ga * g[:, None]).astype(alpha.dtype), (
-        gb * g[:, None, None]
-    ).astype(beta.dtype)
+        with jax.default_matmul_precision("float32"):
+            tan = tan + jnp.einsum("cnk,nd,cdk->c", thetap, tx, beta)
+    return logp, tan
 
 
-categorical_logit_glm_fused.defvjp(
-    _categorical_fwd, _categorical_bwd, symbolic_zeros=True
-)
+categorical_logit_glm_fused.defjvp(_categorical_fused_jvp, symbolic_zeros=True)
 
 
 # ---------------------------------------------------------------------------

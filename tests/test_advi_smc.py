@@ -30,16 +30,22 @@ def test_advi_meanfield_gaussian():
         _gauss_target(MU, COV),
         jax.random.PRNGKey(0),
         3,
-        num_steps=1500,
-        learning_rate=0.05,
+        num_steps=6000,
+        learning_rate=1.0,  # Stan-scale eta (schedule divides by sqrt(s))
+        # |ELBO| ~ 2.8 on this toy target, so the default 100-sample ELBO
+        # estimate has ~1-3% relative MC noise — right AT Stan's 1% tol;
+        # a tighter estimate lets the Stan rule terminate cleanly
+        num_elbo_mc=2000,
     )
     np.testing.assert_allclose(np.asarray(res.mu), MU, atol=0.1)
     np.testing.assert_allclose(
         np.exp(2 * np.asarray(res.omega)), np.diag(COV), rtol=0.25
     )
-    # ELBO should approach -KL = entropy diff; just require improvement
+    # Stan termination rule fired before the step cap
+    assert res.converged and res.num_steps_run < 6000
+    # ELBO trace (one entry per eval_elbo window) improved
     tr = np.asarray(res.elbo_trace)
-    assert tr[-100:].mean() > tr[:100].mean()
+    assert tr[-1] > tr[0]
 
 
 def test_advi_fullrank_correlated():
@@ -50,8 +56,8 @@ def test_advi_fullrank_correlated():
         jax.random.PRNGKey(1),
         2,
         method="fullrank",
-        num_steps=2500,
-        learning_rate=0.05,
+        num_steps=8000,
+        learning_rate=1.0,
     )
     got_cov = np.asarray(res.L @ res.L.T)
     np.testing.assert_allclose(got_cov, cov, atol=0.25)
@@ -75,8 +81,8 @@ def test_advi_eight_schools():
         model.logp,
         jax.random.PRNGKey(4),
         model.dim,
-        num_steps=3000,
-        learning_rate=0.02,
+        num_steps=8000,
+        learning_rate=1.0,
     )
     s = np.asarray(advi_sample(jax.random.PRNGKey(5), res, 4000))
     cons = model.constrain(jnp.asarray(s))

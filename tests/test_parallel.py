@@ -196,9 +196,13 @@ def test_chunked_pooled_sharded_bit_identical():
 
 def test_chunked_pooled_args_are_operands():
     """Data passed via args= must flow through the chunked segment
-    dispatches as traced operands in BOTH the local and the mesh path
-    (regression: closure-captured data bakes into the compiled program),
-    and both paths must recover a GLM posterior."""
+    dispatches as traced OPERANDS in BOTH the local and the mesh path
+    (regression: closure-captured data bakes into the compiled program).
+
+    Detection is direct: a trace counter inside logp.  After the first
+    dataset compiles the segments, a SECOND same-shaped dataset must
+    execute with ZERO new traces (constants would force a retrace) while
+    still changing the posterior (the data really flows)."""
     from math_tpu.infer.pooled import run_pooled_chains_chunked
 
     rng = np.random.default_rng(2)
@@ -208,7 +212,10 @@ def test_chunked_pooled_args_are_operands():
         (rng.uniform(size=120) < 1 / (1 + np.exp(-np.asarray(X @ bt)))).astype(float)
     )
 
+    traces = {"n": 0}
+
     def logp(beta, X, y):
+        traces["n"] += 1  # host side effect: fires once per (re)trace
         return dists.bernoulli_logit_glm_lpmf(
             y, X, 0.0, beta, propto=True
         ) + dists.normal_lpdf(beta, 0.0, 1.0, propto=True)
@@ -223,3 +230,21 @@ def test_chunked_pooled_args_are_operands():
         pos = np.asarray(r.position).reshape(-1, 3)
         assert np.isfinite(pos).all()
         assert np.abs(pos.mean(0) - np.asarray(bt)).max() < 0.6
+
+    # args-as-operands proof: a different same-shaped dataset must run
+    # with ZERO new traces of logp...
+    bt2 = jnp.asarray([-0.6, 0.9, -0.1])
+    y2 = jnp.asarray(
+        (rng.uniform(size=120) < 1 / (1 + np.exp(-np.asarray(X @ bt2)))).astype(float)
+    )
+    n_before = traces["n"]
+    kw2 = dict(kw)
+    kw2["args"] = (X, y2)
+    local2 = run_pooled_chains_chunked(keys, z0, logp, **kw2)
+    assert traces["n"] == n_before, (
+        "changing args retraced the segments: data was baked as constants"
+    )
+    # ...while actually changing the result (the operands really flow)
+    pos2 = np.asarray(local2.position).reshape(-1, 3)
+    assert np.abs(pos2.mean(0) - np.asarray(bt2)).max() < 0.6
+    assert np.abs(pos2.mean(0) - np.asarray(local.position).reshape(-1, 3).mean(0)).max() > 0.3

@@ -159,7 +159,13 @@ def choose_depth_cap(depths, user_cap, margin=2, quantile=0.98):
     adapted mean depth by ~``margin`` AND cover the bulk of observed
     transitions, so
 
-        cap = min(user_cap, max(ceil(mean) + margin, q{quantile} + 1))
+        cap = min(user_cap, max(round(mean + margin), q{quantile}))
+
+    (capping AT the 98th-percentile depth truncates <= 2% of trees, which
+    the r4 sweeps measured as ESS-free: eight-schools mean 3.3 -> cap 5
+    holds min-ESS exactly — artifacts/eight_schools_depthcap_r4.jsonl —
+    and radon mean 4.0 -> cap 6 likewise, while radon cap 5 = mean+1
+    collapsed it.)
 
     ``depths``: any array of observed tree depths (host numpy ok).
     Returns an int in [2, user_cap].
@@ -169,8 +175,31 @@ def choose_depth_cap(depths, user_cap, margin=2, quantile=0.98):
         return int(user_cap)
     mean = float(d.mean())
     q = int(np.quantile(d, quantile))
-    cap = max(int(np.ceil(mean)) + margin, q + 1)
+    cap = max(int(np.floor(mean + margin + 0.5)), q)
     return int(np.clip(cap, 2, user_cap))
+
+
+def depth_probe_window(window_end, num_warmup, override=None, tail=50):
+    """(probe_end, tail_len) for auto depth sizing.
+
+    The probe runs at the ``max_depth`` ceiling until ~``tail`` steps past
+    the FIRST metric-window close, and the cap is read from those last
+    ``tail`` steps only: before the first metric update the depth
+    distribution reflects the IDENTITY metric and reads too deep
+    (measured on radon: a pre-metric probe reads q98~8 and picks cap 9
+    where the adapted distribution gives 6).  ``override`` forces a fixed
+    probe length (cap read from its second half).
+    """
+    if override is not None:
+        probe = max(1, min(int(override), num_warmup))
+        return probe, max(1, probe // 2)
+    we = np.nonzero(np.asarray(window_end))[0]
+    first_close = int(we[0]) + 1 if len(we) else num_warmup
+    probe = min(first_close + tail, num_warmup)
+    tail_len = probe - first_close
+    if tail_len < 1:
+        tail_len = max(1, probe // 2)
+    return probe, tail_len
 
 
 def treedepth_saturation(tree_depth, cap):

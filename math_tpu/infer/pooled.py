@@ -343,8 +343,9 @@ def run_pooled_chains_chunked(
     mesh=None,
     axis: str = "chain",
     auto_depth: bool = False,
-    depth_probe: int = 100,
+    depth_probe: Optional[int] = None,
     depth_margin: int = 2,
+    warmup_start_cap: int = 6,
     treedepth_warn_threshold: float = 0.05,
 ) -> PooledResult:
     """``run_pooled_chains`` executed as bounded device dispatches.
@@ -363,15 +364,35 @@ def run_pooled_chains_chunked(
     ``pmean``/``psum`` over ICI, and the returned draws carry the global
     chain axis — the multi-chip production path for long runs.
 
-    ``auto_depth=True``: the first ``depth_probe`` warmup steps run at the
-    full ``max_depth`` ceiling; the cap for the REST of warmup and all of
-    sampling is then auto-sized from the probe tail's pooled tree-depth
-    histogram via ``adapt.choose_depth_cap`` (the transition's cost
-    scales with the PROGRAM's cap — see that docstring for the measured
-    4.8x).  The chosen cap is returned as ``PooledResult.max_depth`` and
-    a warning fires if the sampling-phase saturation rate exceeds
+    ``auto_depth=True``: CONTINUOUS, SELF-CORRECTING cap auto-sizing.
+    Warmup starts at ``min(max_depth, warmup_start_cap)`` and after every
+    warmup chunk the cap is RE-CHOSEN (up or down, capped by
+    ``max_depth``) from that chunk's tail tree-depth histogram via
+    ``adapt.choose_depth_cap``; the sampling phase then re-sizes once
+    more from a 100-draw pilot at the adapted (eps_bar) step size.
+    Rationale (all measured, BENCHMARKS.md):
+
+    * the transition's cost scales with the PROGRAM's cap (4.8x on
+      eight-schools), so running warmup at the ceiling to "observe" the
+      distribution costs more than the whole sampling phase (radon:
+      one 100-step chunk at ceiling 10 costs ~6 s vs 4 s total at 6);
+    * WARMUP truncation is statistically harmless — r4 ran radon's whole
+      warmup at cap 6 with identical min-ESS — only the SAMPLING cap
+      collapses ESS when set below the adapted depth (radon cap 5:
+      138k -> 49k), and a too-low cap is self-evident in the very chunk
+      it truncates: the distribution saturates, mean -> cap, and
+      ``choose_depth_cap`` pushes the next chunk's cap UP (to the
+      ceiling within ~2 chunks);
+    * warmup depths at the noisy exp(log_eps) over-read the sampling
+      distribution (which integrates at the averaged eps_bar) — hence
+      the sampling-phase pilot re-size.
+
+    The final cap is returned as ``PooledResult.max_depth`` and a
+    warning fires if the sampling-phase saturation rate exceeds
     ``treedepth_warn_threshold``.  Draws are NOT bit-identical to a
     fixed-cap run (a different — still valid — sampler config).
+    ``depth_probe`` forces the FIRST re-size at that step instead of the
+    first chunk boundary.
     """
     import numpy as np
 
@@ -384,15 +405,22 @@ def run_pooled_chains_chunked(
     )
 
     in_slow_np, window_end_np = adapt.warmup_schedule(num_warmup)
-    carry = init_j(keys, z0s, args)
     cap = max_depth
-    probe = min(depth_probe, num_warmup) if auto_depth else 0
+    if auto_depth and warmup_start_cap < max_depth:
+        cap = max(2, warmup_start_cap)
+        init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
+            logdensity_fn, cap, target_accept, dt, dim,
+            mesh=mesh, axis=axis,
+        )
+    carry = init_j(keys, z0s, args)
+    probe = min(depth_probe, num_warmup) if (
+        auto_depth and depth_probe is not None
+    ) else 0
     s = 0
-    probe_hists = []
     while s < num_warmup:
         e = min(s + warmup_chunk, num_warmup)
         if auto_depth and s < probe < e:
-            e = probe  # split a chunk at the probe boundary
+            e = probe  # split a chunk at the forced probe boundary
         carry, hists = warm_j(
             carry,
             jnp.asarray(in_slow_np[s:e]),
@@ -403,17 +431,16 @@ def run_pooled_chains_chunked(
         # scalar host sync: bounds the dispatch stream and surfaces a
         # killed dispatch at the segment that died
         jax.device_get(carry[1].log_eps)
-        if auto_depth and s < probe:
-            probe_hists.append(np.asarray(hists))
         s = e
-        if auto_depth and s == probe:
-            # size the cap from the probe TAIL (step size has settled by
-            # then; the init buffer's transient depths would bias it)
-            h = np.concatenate(probe_hists, axis=0)  # (probe, max_depth+1)
-            h = h[h.shape[0] // 2 :].sum(axis=0)
+        if auto_depth:
+            # re-size (up OR down) from this chunk's tail distribution;
+            # runs after the LAST chunk too — that fully-adapted
+            # distribution seeds the sampling-phase cap
+            h = np.asarray(hists)[-50:].sum(axis=0)
             depths = np.repeat(np.arange(h.shape[0]), h)
-            cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
-            if cap != max_depth:
+            new_cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
+            if new_cap != cap:
+                cap = new_cap
                 init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
                     logdensity_fn, cap, target_accept, dt, dim,
                     mesh=mesh, axis=axis,
@@ -424,8 +451,16 @@ def run_pooled_chains_chunked(
     )
     zs_parts, stats_parts = [], []
     done = 0
+    pilot = min(100, num_samples) if auto_depth else 0
     while done < num_samples:
         n = min(sample_chunk, num_samples - done)
+        if auto_depth and done < pilot:
+            # sampling-phase pilot: warmup depths over-read the sampling
+            # distribution (warmup integrates at the noisy exp(log_eps),
+            # sampling at the averaged eps_bar — radon: warmup tail reads
+            # q98 6 -> cap 7 where sampling itself runs at 6), so the
+            # first draws re-size the cap at the TRUE sampling step size
+            n = min(n, pilot - done)
         states, t, zs, stats = samp_j(
             states, t, eps_final, inv_mass, keys, args, n
         )
@@ -433,6 +468,15 @@ def run_pooled_chains_chunked(
         zs_parts.append(zs)
         stats_parts.append(stats)
         done += n
+        if auto_depth and done == pilot and done < num_samples:
+            td = np.asarray(stats.tree_depth).reshape(-1)
+            new_cap = adapt.choose_depth_cap(td, max_depth, depth_margin)
+            if new_cap != cap:
+                cap = new_cap
+                _, _, samp_j = _segment_dispatch_fns_cached(
+                    logdensity_fn, cap, target_accept, dt, dim,
+                    mesh=mesh, axis=axis,
+                )
     zs = jnp.concatenate(zs_parts, axis=0)
     stats = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0), *stats_parts

@@ -182,7 +182,7 @@ def sample_nuts_checkpointed(
     dtype=jnp.float64,
     draw_store_path: Optional[str] = None,
     auto_depth: bool = False,
-    depth_probe: int = 100,
+    depth_probe: Optional[int] = None,
     depth_margin: int = 2,
     treedepth_warn_threshold: float = 0.05,
 ):
@@ -277,7 +277,10 @@ def sample_nuts_checkpointed(
                 )
             )
             carry = init_fn(keys, z0)
-            probe = min(depth_probe, num_warmup) if auto_depth else 0
+            probe, probe_tail = (
+                adapt.depth_probe_window(window_end_np, num_warmup, depth_probe)
+                if auto_depth else (0, 0)
+            )
             probe_depths = []
             s = 0
             while s < num_warmup:
@@ -305,8 +308,11 @@ def sample_nuts_checkpointed(
                 s = e
                 if auto_depth and s == probe:
                     d = np.concatenate(probe_depths, axis=1)
+                    # tail only: pre-first-metric-window depths reflect
+                    # the identity metric and read too deep (see
+                    # adapt.depth_probe_window)
                     cap = adapt.choose_depth_cap(
-                        d[:, d.shape[1] // 2 :], max_depth, depth_margin
+                        d[:, -probe_tail:], max_depth, depth_margin
                     )
                     if cap != max_depth:
                         seg_fn = jax.jit(
@@ -335,6 +341,7 @@ def sample_nuts_checkpointed(
 
     n_leapfrog = 0
     sat_hits, sat_total = 0, 0
+    pilot_pending = auto_depth and done == 0 and num_samples > chunk_size
     while done < num_samples:
         n = min(chunk_size, num_samples - done)
         states, keys, zs, div, nlf, td = chunk_fn(states, eps, inv_mass, keys)
@@ -344,6 +351,20 @@ def sample_nuts_checkpointed(
         td_np = np.asarray(td)[:, :n]
         sat_hits += int((td_np >= cap).sum())
         sat_total += td_np.size
+        if pilot_pending:
+            # sampling-phase pilot re-size: warmup depths over-read the
+            # sampling distribution (warmup integrates at the noisy
+            # exp(log_eps), sampling at the averaged eps_bar)
+            pilot_pending = False
+            new_cap = min(
+                cap, adapt.choose_depth_cap(td_np, cap, depth_margin)
+            )
+            if new_cap != cap:
+                cap = new_cap
+                chunk_fn = jax.jit(
+                    partial(_sample_chunk, logdensity_fn,
+                            chunk=chunk_size, max_depth=cap)
+                )
         draws.append(zs)
         divs.append(div)
         done += n

@@ -101,7 +101,16 @@ def sample_latent_conditional(key, hyper_draws, x, y, *, jitter=1e-3,
 
     def one(k, th):
         rho, alpha, sigma = th[0], th[1], th[2]
-        kmat = gp_ops.add_diag(gp_ops.gp_exp_quad_cov(x, alpha, rho), jitter)
+        # dtype-aware stabilization: the f32 factorization of K alone
+        # (lambda_max ~ n alpha^2) needs jitter >= ~3 eps n alpha^2 or
+        # tail hyperparameter draws (large alpha) produce NaN factors
+        # (measured on-chip, r5).  For the bulk of the posterior this
+        # leaves ``jitter`` untouched; the affected tail draws deviate
+        # from the K + jitter*I target by O(eps n alpha^2) — the f32
+        # representation floor itself.  In f64 the max() never binds.
+        eps = jnp.finfo(x.dtype).eps
+        jit_eff = jnp.maximum(jitter, 3.0 * eps * n * jnp.square(alpha))
+        kmat = gp_ops.add_diag(gp_ops.gp_exp_quad_cov(x, alpha, rho), jit_eff)
         amat = gp_ops.add_diag(kmat, jnp.square(sigma))
         k1, k2 = jax.random.split(k)
         z1 = jax.random.normal(k1, (n,), x.dtype)

@@ -8,4 +8,10 @@ from math_tpu.infer.smc import (  # noqa: F401
     SMCResult,
 )
 from math_tpu.infer.resume import sample_nuts_checkpointed  # noqa: F401
+from math_tpu.infer.optimize import (  # noqa: F401
+    map_estimate,
+    laplace_sample,
+    OptimizeResult,
+    LaplaceResult,
+)
 from math_tpu.infer import adapt  # noqa: F401

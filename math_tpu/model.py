@@ -82,6 +82,12 @@ class LogDensity:
         values, lp_jac = self.constrain_lp(theta)
         return self.log_prob_fn(values, *data) + lp_jac
 
+    def logp_unadjusted(self, theta, *data):
+        """Log density WITHOUT the change-of-variables adjustment — the
+        objective of Stan's ``optimize`` method (jacobian=false), whose
+        optimum is the constrained-space MAP."""
+        return self.log_prob_fn(self.constrain(theta), *data)
+
     def logp_and_grad(self, theta):
         return jax.value_and_grad(self.logp)(theta)
 

@@ -6,3 +6,4 @@ from math_tpu.diagnostics.convergence import (  # noqa: F401
     ess_tail,
     summary,
 )
+from math_tpu.diagnostics.psis import psis_smooth, gpd_fit  # noqa: F401

@@ -14,4 +14,5 @@ from math_tpu.infer.optimize import (  # noqa: F401
     OptimizeResult,
     LaplaceResult,
 )
+from math_tpu.infer.pathfinder import pathfinder, PathfinderResult  # noqa: F401
 from math_tpu.infer import adapt  # noqa: F401

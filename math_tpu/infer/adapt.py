@@ -147,25 +147,32 @@ def warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25):
     return in_slow, window_end
 
 
-def choose_depth_cap(depths, user_cap, margin=2, quantile=0.98):
-    """Auto-size the NUTS tree-depth cap from observed warmup tree depths.
+def choose_depth_cap(depths, user_cap, margin=2, sat_tol=0.05):
+    """Auto-size the NUTS tree-depth cap from observed tree depths.
 
     The transition's cost scales with the PROGRAM's ``max_depth``
     (checkpoint-stack sizes and, under ``vmap``, the worst-lane tree
     budget) — not the adapted depth: capping 10 -> 6 on eight-schools cut
     wall 4.8x at identical ESS, while a cap at/below the adapted depth
     truncates real trajectories (radon: cap 5 collapsed min-ESS 138k ->
-    49k).  Rule (measured, BENCHMARKS.md r4): the cap must clear the
-    adapted mean depth by ~``margin`` AND cover the bulk of observed
-    transitions, so
+    49k).  Rule (measured, BENCHMARKS.md r4/r5): the cap must clear the
+    adapted mean depth by ~``margin`` AND keep the expected saturation
+    rate at or under ``sat_tol``, so
 
-        cap = min(user_cap, max(round(mean + margin), q{quantile}))
+        cap = min(user_cap,
+                  max(round(mean + margin),
+                      smallest c with P(depth >= c) <= sat_tol))
 
-    (capping AT the 98th-percentile depth truncates <= 2% of trees, which
-    the r4 sweeps measured as ESS-free: eight-schools mean 3.3 -> cap 5
-    holds min-ESS exactly — artifacts/eight_schools_depthcap_r4.jsonl —
-    and radon mean 4.0 -> cap 6 likewise, while radon cap 5 = mean+1
-    collapsed it.)
+    ``P(depth >= c)`` estimated from the observed distribution IS the
+    expected cap-hit rate at cap ``c``, so the chosen cap is
+    self-consistent with ``warn_on_treedepth_saturation``'s default
+    threshold (a cap chosen here never warns on the data that chose it).
+    r5 measured the failure of the earlier raw-q98 tail rule: on
+    eight-schools it picked cap 5 with a 7.4% hit rate, which both fired
+    the saturation warning and ran SLOWER than cap 6 (1.80 s vs 1.50 s
+    monolithic — saturated lanes burn their full tree budget every
+    transition under vmap), so the tail rule must bound the hit rate,
+    not the quantile.
 
     ``depths``: any array of observed tree depths (host numpy ok).
     Returns an int in [2, user_cap].
@@ -174,8 +181,16 @@ def choose_depth_cap(depths, user_cap, margin=2, quantile=0.98):
     if d.size == 0:
         return int(user_cap)
     mean = float(d.mean())
-    q = int(np.quantile(d, quantile))
-    cap = max(int(np.floor(mean + margin + 0.5)), q)
+    # smallest c with P(d >= c) <= sat_tol; observed depths are themselves
+    # truncated at the cap they ran under, so a heavy lump AT the current
+    # cap pushes c past it (the caller's ratchet then re-observes)
+    dmax = int(d.max())
+    tail = dmax + 1
+    for c in range(2, dmax + 2):
+        if float(np.mean(d >= c)) <= sat_tol:
+            tail = c
+            break
+    cap = max(int(np.floor(mean + margin + 0.5)), tail)
     return int(np.clip(cap, 2, user_cap))
 
 

@@ -151,7 +151,20 @@ def _make_pooled_machine(
         (states, t), (zs, stats) = jax.lax.scan(
             sample_step, (states, t), None, length=n
         )
-        return states, t, zs, stats
+        # pooled depth histogram (device-side reduce): the pilot decision
+        # needs only (max_depth+1,) ints, not the (n, chains) depth array
+        # — pulling the full array through the relay put ~100 ms of
+        # transfer on the critical path (measured r5)
+        hist = _psum(
+            jnp.sum(
+                jax.nn.one_hot(
+                    stats.tree_depth, max_depth + 1, dtype=jnp.int32
+                ),
+                axis=0,
+            ),
+            axis_name,
+        )
+        return states, t, zs, stats, hist
 
     return init, warmup_seg, sample_seg
 
@@ -265,8 +278,10 @@ def _segment_dispatch_fns(
                     samp_local_factory(n), mesh=mesh,
                     in_specs=(P(axis), P(), P(), P(), P(axis), P()),
                     # zs/stats come out (n, local_chains, ...): the chain
-                    # axis is second
-                    out_specs=(P(axis), P(), P(None, axis), P(None, axis)),
+                    # axis is second; the depth histogram is pooled
+                    # (replicated)
+                    out_specs=(P(axis), P(), P(None, axis), P(None, axis),
+                               P()),
                 )
             )
         return samp_cache[n](states, t, eps_final, inv_mass, keys_g, args_r)
@@ -322,7 +337,7 @@ def run_pooled_chains(
     eps_final = jnp.where(
         num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
     )
-    states, _, zs, stats = sample_seg(
+    states, _, zs, stats, _ = sample_seg(
         states, t, eps_final, inv_mass, num_samples
     )
     return _pooled_result(zs, stats, eps_final, inv_mass, max_depth)
@@ -369,8 +384,12 @@ def run_pooled_chains_chunked(
     warmup chunk the cap is RE-CHOSEN (up or down, capped by
     ``max_depth``) from that chunk's tail tree-depth histogram via
     ``adapt.choose_depth_cap``; the sampling phase then re-sizes once
-    more from a 100-draw pilot at the adapted (eps_bar) step size.
-    Rationale (all measured, BENCHMARKS.md):
+    more from a 100-draw pilot at the adapted (eps_bar) step size, and
+    if the pilot's own cap-hit rate exceeds ``treedepth_warn_threshold``
+    the cap is pushed UP and another 100-draw pilot re-checks (draws are
+    kept; the escalation is bounded by ``max_depth``) — so the final cap
+    never saturates above the warn threshold on the evidence that chose
+    it.  Rationale (all measured, BENCHMARKS.md):
 
     * the transition's cost scales with the PROGRAM's cap (4.8x on
       eight-schools), so running warmup at the ceiling to "observe" the
@@ -391,8 +410,10 @@ def run_pooled_chains_chunked(
     warning fires if the sampling-phase saturation rate exceeds
     ``treedepth_warn_threshold``.  Draws are NOT bit-identical to a
     fixed-cap run (a different — still valid — sampler config).
-    ``depth_probe`` forces the FIRST re-size at that step instead of the
-    first chunk boundary.
+    ``depth_probe`` forces a chunk split (and hence a re-size read) at
+    that step instead of the first chunk boundary; under the lag-1 sync
+    pipeline (below) the re-sized program takes effect one dispatch
+    later.
     """
     import numpy as np
 
@@ -416,6 +437,30 @@ def run_pooled_chains_chunked(
     probe = min(depth_probe, num_warmup) if (
         auto_depth and depth_probe is not None
     ) else 0
+
+    def resize_from_hists(hists):
+        # re-size (up OR down) from the chunk's tail distribution; the
+        # LAST chunk's fully-adapted distribution seeds the sampling cap
+        nonlocal cap, init_j, warm_j, samp_j
+        h = np.asarray(hists)[-50:].sum(axis=0)
+        depths = np.repeat(np.arange(h.shape[0]), h)
+        new_cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
+        if new_cap != cap:
+            cap = new_cap
+            init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
+                logdensity_fn, cap, target_accept, dt, dim,
+                mesh=mesh, axis=axis,
+            )
+
+    # LAG-1 sync pipelining: the host sync per chunk (scalar device_get /
+    # histogram pull) costs a full relay round trip (~32 ms measured), so
+    # each chunk's sync object is consumed only AFTER the next chunk has
+    # been dispatched — the transfer overlaps device compute and the sync
+    # stall all but vanishes.  Consequences: a cap re-size takes effect
+    # one chunk later (the self-correction ratchet is unchanged, one
+    # chunk delayed), and a killed dispatch surfaces at the following
+    # segment's sync instead of its own.
+    pending = None  # un-consumed sync object from the previous chunk
     s = 0
     while s < num_warmup:
         e = min(s + warmup_chunk, num_warmup)
@@ -428,55 +473,68 @@ def run_pooled_chains_chunked(
             keys,
             args,
         )
-        # scalar host sync: bounds the dispatch stream and surfaces a
-        # killed dispatch at the segment that died
-        jax.device_get(carry[1].log_eps)
         s = e
+        if pending is not None:
+            if auto_depth:
+                resize_from_hists(pending)
+            else:
+                jax.device_get(pending)  # bound the dispatch stream
+        pending = hists if auto_depth else carry[1].log_eps
+    if pending is not None:
         if auto_depth:
-            # re-size (up OR down) from this chunk's tail distribution;
-            # runs after the LAST chunk too — that fully-adapted
-            # distribution seeds the sampling-phase cap
-            h = np.asarray(hists)[-50:].sum(axis=0)
-            depths = np.repeat(np.arange(h.shape[0]), h)
-            new_cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
-            if new_cap != cap:
-                cap = new_cap
-                init_j, warm_j, samp_j = _segment_dispatch_fns_cached(
-                    logdensity_fn, cap, target_accept, dt, dim,
-                    mesh=mesh, axis=axis,
-                )
+            resize_from_hists(pending)
+        else:
+            jax.device_get(pending)
     states, da, wf, inv_mass, t = carry
     eps_final = jnp.where(
         num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
     )
     zs_parts, stats_parts = [], []
     done = 0
-    pilot = min(100, num_samples) if auto_depth else 0
+    # sampling-phase pilot: warmup depths over-read the sampling
+    # distribution (warmup integrates at the noisy exp(log_eps), sampling
+    # at the averaged eps_bar — radon: warmup tail reads q98 6 -> cap 7
+    # where sampling itself runs at 6), so the first draws re-size the
+    # cap at the TRUE sampling step size; if the pilot saturates its own
+    # cap past the warn threshold the cap escalates and another pilot
+    # re-checks (bounded by the max_depth ceiling)
+    pilot_end = min(100, num_samples) if auto_depth else 0
+    piloting = auto_depth
+    pending_t = None
     while done < num_samples:
         n = min(sample_chunk, num_samples - done)
-        if auto_depth and done < pilot:
-            # sampling-phase pilot: warmup depths over-read the sampling
-            # distribution (warmup integrates at the noisy exp(log_eps),
-            # sampling at the averaged eps_bar — radon: warmup tail reads
-            # q98 6 -> cap 7 where sampling itself runs at 6), so the
-            # first draws re-size the cap at the TRUE sampling step size
-            n = min(n, pilot - done)
-        states, t, zs, stats = samp_j(
+        if piloting and done < pilot_end:
+            n = min(n, pilot_end - done)
+        states, t, zs, stats, hist = samp_j(
             states, t, eps_final, inv_mass, keys, args, n
         )
-        jax.device_get(t)
         zs_parts.append(zs)
         stats_parts.append(stats)
         done += n
-        if auto_depth and done == pilot and done < num_samples:
-            td = np.asarray(stats.tree_depth).reshape(-1)
-            new_cap = adapt.choose_depth_cap(td, max_depth, depth_margin)
+        if piloting and done == pilot_end and done < num_samples:
+            # decision point: must sync now — but only the pooled
+            # (max_depth+1,) histogram crosses the relay, not the
+            # (n, chains) depth array
+            h = np.asarray(hist)
+            depths = np.repeat(np.arange(h.shape[0]), h)
+            new_cap = adapt.choose_depth_cap(depths, max_depth, depth_margin)
+            sat = float(h[cap:].sum()) / max(1.0, float(h.sum()))
+            if sat > treedepth_warn_threshold and cap < max_depth:
+                new_cap = max(new_cap, cap + 1)
+                pilot_end = min(done + 100, num_samples)  # re-pilot
+            else:
+                piloting = False
             if new_cap != cap:
                 cap = new_cap
                 _, _, samp_j = _segment_dispatch_fns_cached(
                     logdensity_fn, cap, target_accept, dt, dim,
                     mesh=mesh, axis=axis,
                 )
+            pending_t = None
+        else:
+            if pending_t is not None:
+                jax.device_get(pending_t)  # lag-1 stream bound
+            pending_t = t
     zs = jnp.concatenate(zs_parts, axis=0)
     stats = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0), *stats_parts

@@ -354,11 +354,24 @@ def sample_nuts_checkpointed(
         if pilot_pending:
             # sampling-phase pilot re-size: warmup depths over-read the
             # sampling distribution (warmup integrates at the noisy
-            # exp(log_eps), sampling at the averaged eps_bar)
-            pilot_pending = False
-            new_cap = min(
-                cap, adapt.choose_depth_cap(td_np, cap, depth_margin)
-            )
+            # exp(log_eps), sampling at the averaged eps_bar); but if the
+            # pilot SATURATES its own cap past the warn threshold, the
+            # cap escalates and the next chunk re-checks (bounded by the
+            # max_depth ceiling) — a cap that saturates is both
+            # statistically truncating and, measured r5, SLOWER (the
+            # saturated worst lane burns its full budget every
+            # transition)
+            sat = float((td_np >= cap).mean())
+            if sat > treedepth_warn_threshold and cap < max_depth:
+                new_cap = max(
+                    cap + 1,
+                    adapt.choose_depth_cap(td_np, max_depth, depth_margin),
+                )
+            else:
+                new_cap = min(
+                    cap, adapt.choose_depth_cap(td_np, cap, depth_margin)
+                )
+                pilot_pending = False
             if new_cap != cap:
                 cap = new_cap
                 chunk_fn = jax.jit(

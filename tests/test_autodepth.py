@@ -19,12 +19,19 @@ from math_tpu.infer.sample import sample_nuts
 
 
 def test_choose_depth_cap_rule():
-    # adapted mean 3.0, q98 3 -> cap = max(ceil(3)+2, 3) = 5
+    # adapted mean 3.0, no tail -> cap = max(round(3+2), 4) = 5
     assert adapt.choose_depth_cap(np.full(1000, 3), 10) == 5
-    # heavy tail: mean 3 but 3% at depth 8 -> q98 8 -> cap 8 (capping AT
-    # the 98th percentile truncates <= 2% of trees — measured ESS-free)
+    # heavy tail: mean 3.15 with 3% at depth 8 -> 3% <= sat_tol (5%), so
+    # the cheap cap 5 wins (under vmap EVERY transition pays the worst
+    # lane's budget, so cap 8 costs ~8x for the 3% tail; r5 measured a
+    # 7.4%-hit cap running SLOWER than the next cap up); a hit rate
+    # above sat_tol pushes the tail term past the lump instead
     d = np.r_[np.full(970, 3), np.full(30, 8)]
-    assert adapt.choose_depth_cap(d, 10) == 8
+    assert adapt.choose_depth_cap(d, 10) == 5
+    assert adapt.choose_depth_cap(d, 10, sat_tol=0.02) == 9
+    # 8% lump at depth 5: P(d>=5)=0.08 > sat_tol -> cap must clear it
+    d2 = np.r_[np.full(920, 3), np.full(80, 5)]
+    assert adapt.choose_depth_cap(d2, 10) == 6
     # saturated probe keeps the user ceiling
     assert adapt.choose_depth_cap(np.full(100, 10), 10) == 10
     # never exceeds the ceiling, never below 2

@@ -7,3 +7,12 @@ from math_tpu.diagnostics.convergence import (  # noqa: F401
     summary,
 )
 from math_tpu.diagnostics.psis import psis_smooth, gpd_fit  # noqa: F401
+from math_tpu.diagnostics.loo import (  # noqa: F401
+    LooComparison,
+    LooResult,
+    WaicResult,
+    loo,
+    loo_compare,
+    pointwise_log_lik,
+    waic,
+)

@@ -110,6 +110,46 @@ class LogDensity:
             key, (num_chains, self.dim), minval=-init_radius, maxval=init_radius
         )
 
+    def generate_quantities(self, gq_fn, positions, *data, key=None):
+        """Standalone generated quantities over saved draws (the Stan
+        ``standalone_gqs`` service: re-run a generated-quantities block
+        against an existing posterior sample without re-sampling).
+
+        ``gq_fn(params_dict, *data) -> pytree`` — or, when ``key=`` is
+        given, ``gq_fn(params_dict, draw_key, *data)`` with a per-draw
+        PRNG key (counter-based fold, reproducible) for ``*_rng``
+        quantities such as posterior-predictive replicates.  ``positions``
+        is any (..., dim) batch of unconstrained draws; every draw runs in
+        ONE jitted vmap and ``data`` stays an XLA operand (never a baked
+        constant).  Returns the pytree with the draw axes prepended.
+        """
+        pos = jnp.asarray(positions)
+        lead = pos.shape[:-1]
+        flat = pos.reshape(-1, self.dim)
+        nd = len(data)
+        if key is None:
+
+            def one(theta, *d):
+                return gq_fn(self.constrain(theta), *d)
+
+            out = jax.jit(jax.vmap(one, in_axes=(0,) + (None,) * nd))(
+                flat, *data
+            )
+        else:
+
+            def one(theta, k, *d):
+                return gq_fn(self.constrain(theta), k, *d)
+
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(key, i)
+            )(jnp.arange(flat.shape[0]))
+            out = jax.jit(jax.vmap(one, in_axes=(0, 0) + (None,) * nd))(
+                flat, keys, *data
+            )
+        return jax.tree.map(
+            lambda v: jnp.reshape(v, lead + v.shape[1:]), out
+        )
+
 
 def make_log_density(
     params: Dict[str, Transform],

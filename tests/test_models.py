@@ -100,3 +100,46 @@ def test_gp_regression_small():
     # posterior mean latent f should track the true function
     alpha = np.asarray(cons["alpha"]).mean()
     assert 0.5 < alpha < 5.0
+
+
+def test_standalone_generated_quantities():
+    """Standalone GQ service (ref: Stan services standalone_gqs): re-run a
+    generated-quantities block over saved draws, with and without per-draw
+    RNG, data passed as operands."""
+    from math_tpu.models import eight_schools
+
+    model = eight_schools.make()
+    pos = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, 50, model.dim))
+    )
+    sigma = jnp.asarray(eight_schools.SIGMA, jnp.float64)
+
+    # deterministic GQ: pytree out, draw axes prepended
+    out = model.generate_quantities(
+        lambda p, s: {
+            "mean_theta": jnp.mean(p["mu"] + p["tau"] * p["theta_tilde"]),
+            "snr": p["tau"] / s[0],
+        },
+        pos, sigma,
+    )
+    assert out["mean_theta"].shape == (3, 50)
+    cons = model.transform_draws(pos)
+    theta = (
+        np.asarray(cons["mu"])[..., None]
+        + np.asarray(cons["tau"])[..., None] * np.asarray(cons["theta_tilde"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mean_theta"]), theta.mean(-1), rtol=1e-6,
+    )
+
+    # RNG GQ: posterior-predictive replicates, reproducible per draw
+    def ppc(p, k, s):
+        th = p["mu"] + p["tau"] * p["theta_tilde"]
+        return th + s * jax.random.normal(k, s.shape)
+
+    y1 = model.generate_quantities(ppc, pos, sigma, key=jax.random.PRNGKey(3))
+    y2 = model.generate_quantities(ppc, pos, sigma, key=jax.random.PRNGKey(3))
+    y3 = model.generate_quantities(ppc, pos, sigma, key=jax.random.PRNGKey(4))
+    assert y1.shape == (3, 50, 8)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert np.abs(np.asarray(y1) - np.asarray(y3)).max() > 0

@@ -355,8 +355,74 @@ def _flatten_pad_zero(x, n, B, cols_only=False):
 
 # AD wiring (r5): custom_jvp, not custom_vjp, so jax.hessian (and any
 # order) works through densities embedding the blocked factorization.
-# Reverse mode is the transpose of the linear JVP rule below; see the
-# note above chol_inv_block.
+# The linear tangent maps are additionally wrapped in ``custom_transpose``
+# with HAND-WRITTEN exact transposes: JAX's mechanical transpose of the
+# block-substitution loops was measured ~50% slower than the closed-form
+# adjoint on the v5e (147 -> 97 ms per fused GP value+grad step at
+# n=2000, C=32), and the closed forms below are exact transposes of the
+# tangent maps (verified by dot-product identity on NON-symmetric
+# tangents in tests/test_chol_second_order.py), so every higher order of
+# differentiation still composes.
+
+try:  # jax-private module (pinned environment); mechanical fallback below
+    from jax._src import core as _jcore
+    from jax._src.custom_transpose import custom_transpose as _custom_transpose
+
+    _HAVE_CT = True
+except ImportError:  # pragma: no cover - exercised only on jax upgrades
+    _HAVE_CT = False
+
+
+def _ct_wrap(fun, transpose):
+    """fun(res, lin)->out with an exact hand transpose(res, cot)->lin_cot;
+    falls back to the mechanical transpose if custom_transpose is gone."""
+    if not _HAVE_CT:  # pragma: no cover
+        return lambda out_types, res, lin: fun(res, lin)
+    ct = _custom_transpose(fun)
+    ct.def_transpose(transpose)
+    return ct
+
+
+def _aval_like(x):
+    return _jcore.ShapedArray(x.shape, x.dtype) if _HAVE_CT else None
+
+
+def _aval(shape, dtype):
+    return _jcore.ShapedArray(shape, dtype) if _HAVE_CT else None
+
+
+def _chb_tan_fun(res, lin):
+    """dL = L Φ(L⁻¹ dA L⁻ᵀ) (Murray, arXiv:1602.07527), both triangular
+    solves as block substitutions over the inverses the forward already
+    computed."""
+    L, Ws = res
+    (da,) = lin
+    B = Ws[0].shape[-1]
+    with jax.default_matmul_precision("float32"):
+        X = _lower_solve_blocks(L, Ws, da, B)  # L⁻¹ dA
+        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))  # L⁻¹ dA L⁻ᵀ
+        return (L @ _phi(M),)
+
+
+def _chb_tan_transpose(res, cot):
+    """Exact transpose of ``_chb_tan_fun``: Ā = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ —
+    Murray's level-3 adjoint WITHOUT the symmetrization (the transpose of
+    the tangent map itself; symmetry-convention agreement with XLA's
+    cholesky holds through any symmetric construction of A).  Strict-upper
+    content of L̄ cannot reach the output: the Φ mask keeps (i >= j) and
+    (Lᵀ L̄)_{ij} only reads L̄ rows k >= i >= j.
+    ref: rev/mat/fun/cholesky_decompose.hpp (blocked reverse sweep)."""
+    L, Ws = res
+    (lbar,) = cot
+    B = Ws[0].shape[-1]
+    with jax.default_matmul_precision("float32"):
+        P = _phi(_T(L) @ lbar)
+        X = _upper_solve_blocks(L, Ws, P, B)  # L⁻ᵀ P
+        abar = _T(_upper_solve_blocks(L, Ws, _T(X), B))  # (L⁻ᵀ Xᵀ)ᵀ
+    return (abar,)
+
+
+_chb_tan = _ct_wrap(_chb_tan_fun, _chb_tan_transpose)
 
 
 @_partial(jax.custom_jvp, nondiff_argnums=(1, 2))
@@ -368,13 +434,9 @@ def _chol_blocked_vjp(a, n, block_size):
 
 @_chol_blocked_vjp.defjvp
 def _chol_blocked_jvp(n, block_size, primals, tangents):
-    """Forward-mode blocked Cholesky: dL = L Φ(L⁻¹ dA L⁻ᵀ) (Murray,
-    arXiv:1602.07527), both triangular solves as block substitutions over
-    the inverses the forward already computed.  The rule is linear in dA,
-    so its transpose IS Murray's level-3 adjoint
-    Ā = L⁻ᵀ Φᵀ(Lᵀ L̄) L⁻¹ — the same solve pipeline the r3
-    hand-written bwd ran (tracing back through the factorization loop
-    instead measured 18x slower at n=2000, C=8, v5e).
+    """Forward-mode blocked Cholesky via ``_chb_tan`` (tracing back
+    through the factorization loop instead measured 18x slower at
+    n=2000, C=8, v5e); reverse mode runs the hand transpose.
     ref: rev/mat/fun/cholesky_decompose.hpp (blocked reverse sweep)."""
     (a,) = primals
     (da,) = tangents
@@ -382,10 +444,7 @@ def _chol_blocked_jvp(n, block_size, primals, tangents):
     flat, batch_shape, _ = _flatten_pad(a, n, B)
     L, Ws = _chol_blocked_impl(flat, B)
     da_flat = _flatten_pad_zero(da, n, B)
-    with jax.default_matmul_precision("float32"):
-        X = _lower_solve_blocks(L, Ws, da_flat, B)  # L⁻¹ dA
-        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))  # L⁻¹ dA L⁻ᵀ
-        dL = L @ _phi(M)
+    (dL,) = _chb_tan((_aval_like(da_flat),), (L, tuple(Ws)), (da_flat,))
     return (
         _unflatten_unpad(L, batch_shape, n),
         _unflatten_unpad(dL, batch_shape, n),
@@ -421,16 +480,60 @@ def _csl_fwd(a, b, n, block_size):
     return (y_out, s_out), (L, Ws, y)
 
 
-@_chol_solve_logdiag.defjvp
-def _csl_jvp(n, block_size, primals, tangents):
-    """Forward-mode joint rule for (y = L⁻¹ b, s = Σ log L_ii) wrt the SPD
-    input and rhs: dL = L Φ(L⁻¹ dA L⁻ᵀ); dy = L⁻¹ (db − dL y);
-    ds = Σ dL_ii / L_ii — all block substitutions over the inverses the
-    forward already computed.  Linear in (dA, db), so reverse mode is the
-    transpose: b̄ = L⁻ᵀ ȳ, L̄ = tril(−b̄ yᵀ) + diag(s̄/L_ii), then Murray's
-    Ā — the same pipeline the r3 hand-written bwd ran.  ref: the
+def _csl_tan_fun(res, lin):
+    """Joint tangent of (y = L⁻¹ b, s = Σ log L_ii) wrt (dA, db), in the
+    simplified form: with M = L⁻¹ dA L⁻ᵀ,
+
+        dy = L⁻¹ db − Φ(M) y      (L⁻¹ dL = Φ(M): the dL matmul cancels)
+        ds = ½ tr(M)              (dL_ii/L_ii = Φ(M)_ii = ½ M_ii)
+
+    — two O(n³) block substitutions + one cheap rhs solve; the explicit
+    dL = L Φ(M) of the textbook form never materializes."""
+    L, Ws, y = res
+    da, db = lin
+    B = Ws[0].shape[-1]
+    with jax.default_matmul_precision("float32"):
+        X = _lower_solve_blocks(L, Ws, da, B)
+        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))
+        dy = _lower_solve_blocks(L, Ws, db, B) - _phi(M) @ y
+        ds = 0.5 * jnp.trace(M, axis1=-2, axis2=-1)
+    return dy, ds
+
+
+def _csl_tan_transpose(res, cot):
+    """Exact transpose of ``_csl_tan_fun``:
+
+        b̄ = L⁻ᵀ ȳ
+        Ā = L⁻ᵀ (−Φ(ȳ yᵀ) + ½ s̄ I) L⁻¹
+
+    (⟨ȳ, Φ(M) y⟩ = ⟨Φ-mask ∘ (ȳ yᵀ), M⟩ — the mask is elementwise and
+    hence self-adjoint, and ȳ yᵀ is a rank-m outer product, so this is
+    CHEAPER than the r3 hand bwd's tril/diag assembly chain; measured
+    147 -> 97 ms per fused GP value+grad at n=2000, C=32, v5e.)  As with
+    the factor adjoint, Ā is the un-symmetrized transpose — identical
+    gradients through any symmetric construction of A.  ref: the
     composition of rev/mat/fun/{cholesky_decompose,mdivide_left_tri,
     log}.hpp varis."""
+    L, Ws, y = res
+    ybar, sbar = cot
+    B = Ws[0].shape[-1]
+    N = L.shape[-1]
+    eye = jnp.eye(N, dtype=L.dtype)
+    with jax.default_matmul_precision("float32"):
+        bbar = _upper_solve_blocks(L, Ws, ybar, B)
+        C = -_phi(ybar @ _T(y)) + 0.5 * sbar[..., None, None] * eye
+        X = _upper_solve_blocks(L, Ws, C, B)
+        abar = _T(_upper_solve_blocks(L, Ws, _T(X), B))
+    return abar, bbar
+
+
+_csl_tan = _ct_wrap(_csl_tan_fun, _csl_tan_transpose)
+
+
+@_chol_solve_logdiag.defjvp
+def _csl_jvp(n, block_size, primals, tangents):
+    """Forward-mode joint rule for (y = L⁻¹ b, s = Σ log L_ii) via
+    ``_csl_tan``; reverse mode runs the hand transpose above."""
     a, b = primals
     da, db = tangents
     B = block_size
@@ -438,12 +541,11 @@ def _csl_jvp(n, block_size, primals, tangents):
     batch_shape = y_out.shape[:-2]
     da_flat = _flatten_pad_zero(da, n, B)
     db_flat = _flatten_pad_zero(db, n, B, cols_only=True)
-    with jax.default_matmul_precision("float32"):
-        X = _lower_solve_blocks(L, Ws, da_flat, B)
-        M = _T(_lower_solve_blocks(L, Ws, _T(X), B))
-        dL = L @ _phi(M)
-        dy = _lower_solve_blocks(L, Ws, db_flat - dL @ y, B)
-        ds = jnp.sum(_masked_diag(dL) / _masked_diag(L), axis=-1)
+    dy, ds = _csl_tan(
+        (_aval_like(db_flat), _aval(L.shape[:-2], L.dtype)),
+        (L, tuple(Ws), y),
+        (da_flat, db_flat),
+    )
     dy_out = dy.reshape(batch_shape + dy.shape[-2:])[..., :n, :]
     ds_out = ds.reshape(batch_shape)
     return (y_out, s_out), (dy_out, ds_out)

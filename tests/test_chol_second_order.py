@@ -116,3 +116,38 @@ def test_third_order_chol():
     t1 = np.asarray(jax.grad(lambda t: jnp.trace(jax.hessian(f)(t)))(T0))
     t2 = np.asarray(jax.grad(lambda t: jnp.trace(jax.hessian(f_ref)(t)))(T0))
     np.testing.assert_allclose(t1, t2, rtol=1e-5, atol=1e-8)
+
+
+def test_hand_transpose_is_exact():
+    """The custom_transpose rules must be EXACT transposes of their
+    tangent maps — verified by the dot-product identity
+    <cot, f(lin)> == <f^T(cot), lin> on random NON-symmetric tangents
+    (the symmetric-construction convention is not assumed here)."""
+    from math_tpu.ops import chol_pallas as cp
+
+    rng = np.random.default_rng(3)
+    a = _spd(T0)
+    flat, _, _ = cp._flatten_pad(a, N, B)
+    L, Ws = cp._chol_blocked_impl(flat, B)
+    Ws = tuple(Ws)
+
+    # factor-only tangent map
+    da = jnp.asarray(rng.normal(size=flat.shape))
+    lbar = jnp.asarray(rng.normal(size=flat.shape))
+    (dL,) = cp._chb_tan_fun((L, Ws), (da,))
+    (abar,) = cp._chb_tan_transpose((L, Ws), (jnp.tril(lbar),))
+    lhs = float(jnp.sum(jnp.tril(lbar) * dL))
+    rhs = float(jnp.sum(abar * da))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    # joint solve+logdiag tangent map
+    b = jnp.asarray(rng.normal(size=(1, flat.shape[-1], 2)))
+    y = cp._lower_solve_blocks(L, Ws, b, B)
+    db = jnp.asarray(rng.normal(size=b.shape))
+    ybar = jnp.asarray(rng.normal(size=b.shape))
+    sbar = jnp.asarray(rng.normal(size=(1,)))
+    dy, ds = cp._csl_tan_fun((L, Ws, y), (da, db))
+    abar2, bbar2 = cp._csl_tan_transpose((L, Ws, y), (ybar, sbar))
+    lhs2 = float(jnp.sum(ybar * dy) + jnp.sum(sbar * ds))
+    rhs2 = float(jnp.sum(abar2 * da) + jnp.sum(bbar2 * db))
+    np.testing.assert_allclose(lhs2, rhs2, rtol=1e-10)

@@ -480,11 +480,12 @@ def run_pooled_chains_chunked(
             else:
                 jax.device_get(pending)  # bound the dispatch stream
         pending = hists if auto_depth else carry[1].log_eps
-    if pending is not None:
-        if auto_depth:
-            resize_from_hists(pending)
-        else:
-            jax.device_get(pending)
+    # the FINAL warmup sync object is NOT consumed before sampling starts:
+    # in auto mode the sampling pilot's own histogram supersedes the
+    # warmup-tail seed (warmup depths over-read the eps_bar distribution
+    # anyway), so the pilot dispatches speculatively at the current cap
+    # and the warmup->sampling relay bubble disappears; in fixed mode the
+    # sampling chunks' own syncs bound the stream
     states, da, wf, inv_mass, t = carry
     eps_final = jnp.where(
         num_warmup > 0, jnp.exp(da.log_eps_bar), jnp.exp(da.log_eps)
